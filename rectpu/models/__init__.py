@@ -1,0 +1,21 @@
+from rectpu.models.base import TowerConfig
+from rectpu.models.deep_fm import DeepFMModel
+from rectpu.models.dnn import DNNModel
+from rectpu.models.linear import LinearModel
+from rectpu.models.wide_deep import WideDeepModel
+
+MODEL_REGISTRY = {
+    "linear": LinearModel,
+    "deep": DNNModel,
+    "linear_deep": WideDeepModel,
+    "deep_fm": DeepFMModel,
+}
+
+__all__ = [
+    "TowerConfig",
+    "LinearModel",
+    "DNNModel",
+    "WideDeepModel",
+    "DeepFMModel",
+    "MODEL_REGISTRY",
+]

@@ -1,0 +1,178 @@
+"""Model building blocks: initializers, MLP tower, shared embedding machinery.
+
+Models are pure functional modules: ``init(rng) -> params`` (a pytree of
+jnp arrays) and ``apply(params, batch, train=..., rng=...) -> logits [B]``.
+This replaces the reference's TF graph-building model_fns / canned estimators
+(/root/reference/trainers/{linear,deep,linear_deep,deep_fm}.py) with
+jit-compilable functions over explicit state — the idiomatic JAX shape.
+
+Initializer choices mirror TF defaults so training dynamics match:
+  - embedding_column: truncated_normal(stddev=1/sqrt(K))
+  - tf.layers.dense:  glorot_uniform kernel, zero bias
+  - linear_model:     zero weights and bias
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rectpu.features.schema import FeatureSet
+from rectpu.ops.embedding import embedding_lookup
+
+
+def truncated_normal(rng, shape, stddev, dtype=jnp.float32):
+    """Truncated normal at 2 sigma (TF truncated_normal_initializer semantics)."""
+    return stddev * jax.random.truncated_normal(rng, -2.0, 2.0, shape, dtype)
+
+
+def glorot_uniform(rng, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, shape, dtype, minval=-limit, maxval=limit)
+
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "gelu": jax.nn.gelu,
+    "elu": jax.nn.elu,
+    "leaky_relu": jax.nn.leaky_relu,
+}
+
+
+def get_activation(name):
+    if callable(name):
+        return name
+    return _ACTIVATIONS[name]
+
+
+# --- MLP tower -------------------------------------------------------------
+
+
+def init_mlp(rng, in_dim: int, hidden_units, out_dim: int = 1):
+    """Hidden dense stack + final logit layer (ref deep_fm.py:93-111)."""
+    layers = []
+    dims = [in_dim] + list(hidden_units) + [out_dim]
+    keys = jax.random.split(rng, len(dims) - 1)
+    for i in range(len(dims) - 1):
+        layers.append(
+            {
+                "kernel": glorot_uniform(keys[i], (dims[i], dims[i + 1])),
+                "bias": jnp.zeros((dims[i + 1],)),
+            }
+        )
+    return layers
+
+
+def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_dtype=None):
+    """Forward through hidden layers (activation + dropout) then linear logit."""
+    act = get_activation(activation)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    n_hidden = len(layers) - 1
+    for i, layer in enumerate(layers[:-1]):
+        kernel = layer["kernel"]
+        bias = layer["bias"]
+        if compute_dtype is not None:
+            kernel = kernel.astype(compute_dtype)
+            bias = bias.astype(compute_dtype)
+        x = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype) + bias
+        x = act(x)
+        if dropout > 0 and train:
+            if rng is None:
+                raise ValueError("dropout requires an rng in train mode")
+            drop_rng = jax.random.fold_in(rng, i)
+            keep = jax.random.bernoulli(drop_rng, 1.0 - dropout, x.shape)
+            x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    last = layers[-1]
+    kernel, bias = last["kernel"], last["bias"]
+    if compute_dtype is not None:
+        kernel = kernel.astype(compute_dtype)
+    out = jnp.dot(x, kernel, preferred_element_type=jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(jnp.float32)
+
+
+# --- shared towers ----------------------------------------------------------
+
+
+@dataclass
+class TowerConfig:
+    """Common knobs shared by the model zoo."""
+
+    feature_set: FeatureSet
+    embedding_size: int = 4
+    hidden_units: tuple = (16, 16)
+    activation: str = "relu"
+    dropout: float = 0.0
+    embedding_impl: str = "auto"  # rectpu.ops.embedding implementation
+    fm_impl: str = "auto"  # rectpu.ops.fm implementation
+    compute_dtype: str | None = None  # e.g. "bfloat16" for MXU-friendly towers
+    table_padding: int = 8  # pad table rows for tiling/sharding
+
+    @property
+    def num_fields(self) -> int:
+        return self.feature_set.num_fields
+
+    @property
+    def num_numeric(self) -> int:
+        return self.feature_set.num_numeric
+
+    @property
+    def padded_buckets(self) -> int:
+        v = self.feature_set.total_buckets
+        p = self.table_padding
+        return (v + p - 1) // p * p
+
+    @property
+    def jnp_compute_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+
+def init_linear_tower(cfg: TowerConfig):
+    """Zero-init per-bucket weights + bias (TF linear_model semantics,
+    ref deep_fm.py:37-44)."""
+    tower = {
+        "w": jnp.zeros((cfg.padded_buckets,)),
+        "b": jnp.zeros(()),
+    }
+    if cfg.num_numeric:
+        tower["w_num"] = jnp.zeros((cfg.num_numeric,))
+    return tower
+
+
+def apply_linear_tower(tower, batch):
+    """logit[b] = sum_f w[id_{b,f}] + w_num . x_b + bias -> [B]."""
+    logit = jnp.take(tower["w"], batch["cat_ids"], axis=0).sum(axis=1) + tower["b"]
+    if "w_num" in tower and batch.get("num_vals") is not None:
+        logit = logit + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
+    return logit
+
+
+def init_embedding_table(rng, cfg: TowerConfig):
+    """[V_pad, K] truncated-normal table (TF embedding_column init:
+    stddev = 1/sqrt(K))."""
+    return truncated_normal(
+        rng, (cfg.padded_buckets, cfg.embedding_size), 1.0 / np.sqrt(cfg.embedding_size)
+    )
+
+
+def lookup_fields(table, batch, cfg: TowerConfig, lookup_fn=None):
+    """[B, F] ids -> [B, F, K] field embeddings."""
+    if lookup_fn is not None:
+        emb = lookup_fn(table, batch["cat_ids"])
+    else:
+        emb = embedding_lookup(table, batch["cat_ids"], impl=cfg.embedding_impl)
+    dtype = cfg.jnp_compute_dtype
+    return emb.astype(dtype) if dtype is not None else emb
+
+
+def numeric_field_embeddings(num_emb, batch, cfg: TowerConfig):
+    """Numeric-feature embedding trick (ref deep_fm.py:60-69):
+    value * learned vector -> [B, N, K]."""
+    vals = batch["num_vals"].astype(num_emb.dtype)  # [B, N]
+    return vals[:, :, None] * num_emb  # [1, N, K] broadcast

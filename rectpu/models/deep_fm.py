@@ -1,0 +1,107 @@
+"""DeepFM CTR model — the reference's centerpiece.
+
+Equivalent of the custom model_fn at /root/reference/trainers/deep_fm.py:11-125:
+    logits = linear + FM-second-order + DNN
+over a SHARED per-field embedding input layer. Components are individually
+toggleable (use_linear / use_mf / use_dnn); numeric features enter the shared
+input layer via the value-times-learned-vector trick (ref :60-69).
+
+Note: the reference CLI's --exclude-* flags are silently broken by trailing
+commas (ref :135-137 builds 1-tuples, always truthy); this implementation
+honors the intended semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rectpu.models.base import (
+    TowerConfig,
+    apply_linear_tower,
+    apply_mlp,
+    init_embedding_table,
+    init_linear_tower,
+    init_mlp,
+    lookup_fields,
+    numeric_field_embeddings,
+    truncated_normal,
+)
+from rectpu.ops.fm import fm_cross
+
+
+class DeepFMModel:
+    name = "deep_fm"
+
+    def __init__(
+        self,
+        cfg: TowerConfig,
+        use_linear: bool = True,
+        use_mf: bool = True,
+        use_dnn: bool = True,
+    ):
+        if cfg.num_fields + cfg.num_numeric == 0:
+            raise ValueError(
+                "At least 1 feature column of categorical_columns or numeric_columns "
+                "must be specified."
+            )
+        if not (use_linear or use_mf or use_dnn):
+            raise ValueError("At least 1 of linear, mf or dnn component must be used.")
+        self.cfg = cfg
+        self.use_linear = use_linear
+        self.use_mf = use_mf
+        self.use_dnn = use_dnn
+
+    def init(self, rng) -> dict:
+        cfg = self.cfg
+        k_emb, k_mlp, k_num = jax.random.split(rng, 3)
+        params = {}
+        if self.use_linear:
+            params["linear"] = init_linear_tower(cfg)
+        if self.use_mf or self.use_dnn:
+            params["emb"] = init_embedding_table(k_emb, cfg)
+            if cfg.num_numeric:
+                # [1, N, K] numeric embedding vectors (ref deep_fm.py:63-65)
+                params["num_emb"] = truncated_normal(
+                    k_num, (1, cfg.num_numeric, cfg.embedding_size),
+                    1.0 / cfg.embedding_size**0.5,
+                )
+        if self.use_dnn:
+            params["mlp"] = init_mlp(
+                k_mlp,
+                (cfg.num_fields + cfg.num_numeric) * cfg.embedding_size,
+                cfg.hidden_units,
+            )
+        return params
+
+    def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
+        cfg = self.cfg
+        logits = jnp.zeros((batch["cat_ids"].shape[0],), dtype=jnp.float32)
+
+        if self.use_linear:
+            logits = logits + apply_linear_tower(params["linear"], batch)
+
+        if self.use_mf or self.use_dnn:
+            emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
+            if cfg.num_numeric:
+                num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+                emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)  # [B, F+N, K]
+
+            if self.use_mf:
+                logits = logits + fm_cross(emb, impl=cfg.fm_impl).astype(jnp.float32)
+
+            if self.use_dnn:
+                flat = emb.reshape(emb.shape[0], -1)
+                dnn_logit = apply_mlp(
+                    params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
+                    compute_dtype=cfg.jnp_compute_dtype,
+                )
+                logits = logits + dnn_logit[:, 0]
+
+        return logits
+
+    def default_optimizer(self):
+        """Reference default: Adam(lr=1e-3) (ref deep_fm.py:24-26)."""
+        from rectpu.train.optimizers import adam
+
+        return adam(learning_rate=0.001)

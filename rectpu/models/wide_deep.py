@@ -1,0 +1,45 @@
+"""Wide & Deep CTR model.
+
+Equivalent of ``tf.estimator.DNNLinearCombinedClassifier``
+(/root/reference/trainers/linear_deep.py:32-39): a linear tower over the
+sparse columns plus a DNN tower over embedding columns, with summed logits.
+TF canned defaults: linear side FTRL(min(0.2, 1/sqrt(#cols))), DNN side
+Adagrad(0.05) — expressed here as a per-subtree optimizer mapping.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from rectpu.models.base import TowerConfig, apply_linear_tower, init_linear_tower
+from rectpu.models.dnn import DNNModel
+
+
+class WideDeepModel:
+    name = "linear_deep"
+
+    def __init__(self, cfg: TowerConfig):
+        self.cfg = cfg
+        self._dnn = DNNModel(cfg)
+
+    def init(self, rng) -> dict:
+        params = self._dnn.init(rng)
+        params["linear"] = init_linear_tower(self.cfg)
+        return params
+
+    def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
+        wide = apply_linear_tower(params["linear"], batch)
+        deep = self._dnn.apply(params, batch, train=train, rng=rng, lookup_fn=lookup_fn)
+        return wide + deep
+
+    def default_optimizer(self):
+        """Joint training with per-tower optimizers, like the canned estimator."""
+        import math
+
+        from rectpu.train.optimizers import adagrad, ftrl, per_subtree
+
+        lr_linear = min(0.2, 1.0 / math.sqrt(self.cfg.num_fields + self.cfg.num_numeric))
+        return per_subtree(
+            {"linear": ftrl(learning_rate=lr_linear)},
+            default=adagrad(learning_rate=0.05),
+        )

@@ -1,0 +1,124 @@
+"""Factorization-Machine second-order interaction op.
+
+The reference computes the FM cross term with composed TF ops
+(/root/reference/trainers/deep_fm.py:79-90):
+    mf_logit = 0.5 * sum_k((sum_f v)^2 - sum_f v^2)        # [B, 1]
+using the O(B*F*K) sum-square-minus-square-sum identity.
+
+Implementations:
+  - "xla":    the identity in jnp — XLA fuses the elementwise+reduce chain.
+  - "pallas": a fused kernel (fwd + bwd via custom_vjp) tiled over the batch.
+              The backward uses the closed form
+                  dv[b,f,k] = g[b] * (S[b,k] - v[b,f,k]),  S = sum_f v
+              so no residual beyond v itself is needed.
+
+Both return [B] logits from a [B, F, K] embedding tensor.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rectpu.ops.embedding import _on_tpu, _round_up
+
+
+def fm_cross_xla(v: jax.Array) -> jax.Array:
+    """0.5 * sum_k((sum_f v)^2 - sum_f v^2), v: [B, F, K] -> [B]."""
+    s = jnp.sum(v, axis=1)
+    sum_square = jnp.square(s)
+    square_sum = jnp.sum(jnp.square(v), axis=1)
+    return 0.5 * jnp.sum(sum_square - square_sum, axis=-1)
+
+
+def _fm_fwd_kernel(v_ref, out_ref):
+    v = v_ref[:].astype(jnp.float32)
+    s = jnp.sum(v, axis=1)  # [TB, K]
+    sum_square = jnp.square(s)
+    square_sum = jnp.sum(jnp.square(v), axis=1)
+    out_ref[:] = (0.5 * jnp.sum(sum_square - square_sum, axis=-1, keepdims=True)).astype(
+        out_ref.dtype
+    )
+
+
+def _fm_bwd_kernel(v_ref, g_ref, dv_ref):
+    v = v_ref[:].astype(jnp.float32)
+    s = jnp.sum(v, axis=1, keepdims=True)  # [TB, 1, K]
+    g = g_ref[:].astype(jnp.float32)  # [TB, 1]
+    dv_ref[:] = (g[:, :, None] * (s - v)).astype(dv_ref.dtype)
+
+
+def _fm_pallas_fwd(v: jax.Array, tile_b: int, interpret: bool) -> jax.Array:
+    b, f, k = v.shape
+    bp = _round_up(max(b, tile_b), tile_b)
+    v_p = jnp.pad(v, ((0, bp - b), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        _fm_fwd_kernel,
+        grid=(bp // tile_b,),
+        in_specs=[pl.BlockSpec((tile_b, f, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, 1), v.dtype),
+        interpret=interpret,
+    )(v_p)
+    return out[:b, 0]
+
+
+def _fm_pallas_bwd(v: jax.Array, g: jax.Array, tile_b: int, interpret: bool) -> jax.Array:
+    b, f, k = v.shape
+    bp = _round_up(max(b, tile_b), tile_b)
+    v_p = jnp.pad(v, ((0, bp - b), (0, 0), (0, 0)))
+    g_p = jnp.pad(g.reshape(b, 1), ((0, bp - b), (0, 0)))
+    dv = pl.pallas_call(
+        _fm_bwd_kernel,
+        grid=(bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, f, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_b, f, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, f, k), v.dtype),
+        interpret=interpret,
+    )(v_p, g_p)
+    return dv[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _fm_pallas(v, tile_b, interpret):
+    return _fm_pallas_fwd(v, tile_b, interpret)
+
+
+def _fm_pallas_vjp_fwd(v, tile_b, interpret):
+    return _fm_pallas_fwd(v, tile_b, interpret), v
+
+
+def _fm_pallas_vjp_bwd(tile_b, interpret, v, g):
+    return (_fm_pallas_bwd(v, g, tile_b, interpret),)
+
+
+_fm_pallas.defvjp(_fm_pallas_vjp_fwd, _fm_pallas_vjp_bwd)
+
+
+def fm_cross_pallas(v: jax.Array, tile_b: int = 512, interpret: bool | None = None) -> jax.Array:
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _fm_pallas(v, tile_b, interpret)
+
+
+_IMPLS = {"xla": fm_cross_xla, "pallas": fm_cross_pallas}
+_AUTO_DEFAULT = {"tpu": "xla", "other": "xla"}
+
+
+def set_auto_impl(name: str, on_tpu: bool = True) -> None:
+    assert name in _IMPLS, name
+    _AUTO_DEFAULT["tpu" if on_tpu else "other"] = name
+
+
+def fm_cross(v: jax.Array, impl: str = "auto") -> jax.Array:
+    """FM second-order logit from field embeddings v [B, F, K] -> [B]."""
+    if impl == "auto":
+        impl = _AUTO_DEFAULT["tpu" if _on_tpu() else "other"]
+    return _IMPLS[impl](v)

@@ -1,0 +1,83 @@
+"""Embedding-lookup and FM-cross op tests (all impls agree, grads correct)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectpu.ops.embedding import lookup_onehot, lookup_pallas, lookup_take
+from rectpu.ops.fm import fm_cross_pallas, fm_cross_xla
+
+
+@pytest.fixture
+def table_ids(rng):
+    v, k = 300, 8
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, size=(64, 26)).astype(np.int32))
+    return table, ids
+
+
+def test_lookup_impls_agree(table_ids):
+    table, ids = table_ids
+    ref = lookup_take(table, ids)
+    np.testing.assert_allclose(lookup_onehot(table, ids), ref, rtol=1e-6)
+    np.testing.assert_allclose(lookup_pallas(table, ids, interpret=True), ref, rtol=1e-6)
+
+
+def test_lookup_grads_agree(table_ids):
+    table, ids = table_ids
+
+    def loss(fn):
+        def f(t):
+            out = fn(t, ids)
+            return jnp.sum(jnp.sin(out) * out)
+
+        return jax.grad(f)(table)
+
+    g_ref = loss(lookup_take)
+    g_onehot = loss(lookup_onehot)
+    g_pallas = loss(lambda t, i: lookup_pallas(t, i, interpret=True))
+    np.testing.assert_allclose(g_onehot, g_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_lookup_scatter_grad_is_count(table_ids):
+    """d/dtable sum(lookup) = number of times each row was looked up."""
+    table, ids = table_ids
+    g = jax.grad(lambda t: jnp.sum(lookup_pallas(t, ids, interpret=True)))(table)
+    counts = np.bincount(np.asarray(ids).ravel(), minlength=table.shape[0])
+    np.testing.assert_allclose(g[:, 0], counts.astype(np.float32), rtol=1e-6)
+
+
+def test_fm_cross_identity_vs_naive(rng):
+    """FM identity equals the O(F^2) naive pairwise sum (fp64 oracle,
+    reference math at trainers/deep_fm.py:81-90)."""
+    b, f, k = 32, 26, 4
+    v = rng.normal(size=(b, f, k))
+    naive = np.zeros(b)
+    for i in range(f):
+        for j in range(i + 1, f):
+            naive += (v[:, i, :] * v[:, j, :]).sum(axis=1)
+    got = fm_cross_xla(jnp.asarray(v.astype(np.float32)))
+    np.testing.assert_allclose(got, naive, rtol=1e-4)
+
+
+def test_fm_pallas_matches_xla(rng):
+    b, f, k = 100, 26, 4  # deliberately not a tile multiple
+    v = jnp.asarray(rng.normal(size=(b, f, k)).astype(np.float32))
+    np.testing.assert_allclose(
+        fm_cross_pallas(v, tile_b=32, interpret=True), fm_cross_xla(v), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fm_pallas_grad_matches(rng):
+    b, f, k = 48, 10, 6
+    v = jnp.asarray(rng.normal(size=(b, f, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
+
+    def obj(fn):
+        return jax.grad(lambda x: jnp.sum(w * fn(x)))(v)
+
+    g_ref = obj(fm_cross_xla)
+    g_pal = obj(lambda x: fm_cross_pallas(x, tile_b=16, interpret=True))
+    np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-5)
