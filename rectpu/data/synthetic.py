@@ -36,9 +36,12 @@ def generate_frame(
 
     rng = np.random.default_rng(seed)
 
-    # planted structure: user/item factors drive the rating distribution
-    u_fac = rng.normal(size=(num_users, latent_dim))
-    i_fac = rng.normal(size=(num_items, latent_dim))
+    # planted structure: biases (learnable by linear models) + latent factors
+    # (learnable only by embedding interactions, e.g. FM/DNN towers)
+    u_fac = rng.normal(scale=0.7, size=(num_users, latent_dim))
+    i_fac = rng.normal(scale=0.7, size=(num_items, latent_dim))
+    u_bias = rng.normal(scale=1.0, size=num_users)
+    i_bias = rng.normal(scale=1.0, size=num_items)
     u_age = rng.integers(7, 74, size=num_users)
     u_gender = rng.choice(["F", "M"], size=num_users, p=[0.3, 0.7])
     u_occ = rng.choice(_OCCUPATIONS, size=num_users)
@@ -51,7 +54,9 @@ def generate_frame(
     user = rng.integers(0, num_users, size=num_rows)
     item = rng.integers(0, num_items, size=num_rows)
     score = (u_fac[user] * i_fac[item]).sum(axis=1)
-    score = score + 0.02 * (u_age[user] - 33) / 10.0 + 0.01 * (i_year[item] - 1960) / 10.0
+    score = score + u_bias[user] + i_bias[item]
+    score = score + 0.15 * (u_age[user] - 33) / 10.0 + 0.1 * (i_year[item] - 1960) / 10.0
+    score = score + 0.2 * (u_gender[user] == "M") + 0.1 * i_genres[item, :].sum(axis=1)
     score += rng.normal(scale=0.8, size=num_rows)
     # map scores to 1..5 ratings by quantile so the label prior resembles ml-100k
     qs = np.quantile(score, [0.10, 0.30, 0.60, 0.82])
@@ -102,8 +107,11 @@ def write_synthetic_dataset(
     """Write train.csv/test.csv (+all.csv) with the trainer schema; returns paths."""
     dest = Path(dest_dir)
     dest.mkdir(parents=True, exist_ok=True)
-    train = generate_frame(train_rows, seed=seed, **kwargs)
-    test = generate_frame(test_rows, seed=seed + 1, **kwargs)
+    # one planted model for both splits (a per-split model would make
+    # generalization impossible); rows are iid so a head/tail split is clean
+    full = generate_frame(train_rows + test_rows, seed=seed, **kwargs)
+    train = full.iloc[:train_rows]
+    test = full.iloc[train_rows:]
     paths = {
         "train": dest / "train.csv",
         "test": dest / "test.csv",

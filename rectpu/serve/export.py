@@ -1,0 +1,177 @@
+"""Model export + serving-side predict path.
+
+Replaces the reference's SavedModel export
+(LatestExporter + serving_input_fn, /root/reference/trainers/conf_utils.py:20-24,
+/root/reference/trainers/ml_100k.py:64-88) and the ML-Engine prediction
+contract (/root/reference/scripts/mle_deploy.sh). An export is a directory
+
+    <job_dir>/export/exporter/<timestamp>/
+        arrays.npz    # model params
+        model.json    # model family + TowerConfig + feature schema
+
+``load_model`` rebuilds the model + a jitted apply fn; ``ServingModel.predict``
+accepts the reference's serving request schema — required features
+user_id, item_id, age, gender, occupation, zipcode, release_year, with the 19
+genre flags optional and defaulting to 0 — and returns the binary head's
+outputs (logits / logistic / probabilities / class_id).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import shutil
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from rectpu.features.schema import GENRE, FeatureSet, ml_100k_feature_set
+from rectpu.models import MODEL_REGISTRY, TowerConfig
+from rectpu.train.checkpoint import _flatten, _rebuild, _treedef_template
+from rectpu.train.metrics import binary_predictions
+from rectpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+SERVING_REQUIRED = ["user_id", "item_id", "age", "gender", "occupation", "zipcode", "release_year"]
+
+
+def export_model(
+    params,
+    model,
+    job_dir: str | Path,
+    step: int,
+    exports_to_keep: int = 5,
+) -> Path:
+    """Write an export under <job_dir>/export/exporter/<ts>/ (LatestExporter
+    layout) and prune old exports."""
+    base = Path(job_dir) / "export" / "exporter"
+    base.mkdir(parents=True, exist_ok=True)
+    ts = str(int(time.time() * 1000))
+    tmp = base / f".tmp-{ts}"
+    final = base / ts
+    tmp.mkdir()
+    try:
+        params_host = jax.device_get(params)
+        flat = _flatten(params_host)
+        np.savez(tmp / "arrays.npz", **flat)
+        cfg = model.cfg
+        meta = {
+            "model": model.name,
+            "step": step,
+            "template": _treedef_template(params_host),
+            "tower_config": {
+                "embedding_size": cfg.embedding_size,
+                "hidden_units": list(cfg.hidden_units),
+                "activation": cfg.activation if isinstance(cfg.activation, str) else "relu",
+                "dropout": cfg.dropout,
+                "embedding_impl": cfg.embedding_impl,
+                "fm_impl": cfg.fm_impl,
+                "compute_dtype": cfg.compute_dtype,
+                "table_padding": cfg.table_padding,
+            },
+            "numeric_features": [f.name for f in cfg.feature_set.numeric],
+            "model_kwargs": {
+                k: getattr(model, k)
+                for k in ("use_linear", "use_mf", "use_dnn")
+                if hasattr(model, k)
+            },
+        }
+        (tmp / "model.json").write_text(json.dumps(meta))
+        tmp.rename(final)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    # prune to newest N exports
+    exports = sorted([p for p in base.iterdir() if p.is_dir() and not p.name.startswith(".")])
+    for old in exports[:-exports_to_keep] if exports_to_keep > 0 else []:
+        shutil.rmtree(old, ignore_errors=True)
+    logger.info("model exported: %s", final)
+    return final
+
+
+def latest_export(job_dir: str | Path) -> Path | None:
+    base = Path(job_dir) / "export" / "exporter"
+    if not base.exists():
+        return None
+    exports = sorted(
+        p for p in base.iterdir() if p.is_dir() and (p / "model.json").exists()
+    )
+    return exports[-1] if exports else None
+
+
+class ServingModel:
+    """A restored model with a jitted predict function over raw features."""
+
+    def __init__(self, model, params, feature_set: FeatureSet):
+        self.model = model
+        self.params = params
+        self.feature_set = feature_set
+        self._apply = jax.jit(lambda p, b: binary_predictions(model.apply(p, b, train=False)))
+
+    def predict(self, features: dict) -> dict:
+        """Predict from the reference serving schema (raw feature arrays).
+
+        Required keys: user_id, item_id, age, gender, occupation, zipcode,
+        release_year. The 19 genre flags are optional and default to 0
+        (ref trainers/ml_100k.py:64-88).
+        """
+        missing = [k for k in SERVING_REQUIRED if k not in features]
+        if missing:
+            raise ValueError(f"missing required serving features: {missing}")
+        n = len(np.asarray(features["user_id"]).reshape(-1))
+        columns = {}
+        for key in SERVING_REQUIRED:
+            columns[key] = np.asarray(features[key]).reshape(-1)
+        for g in GENRE:
+            columns[g] = (
+                np.asarray(features[g]).reshape(-1)
+                if g in features
+                else np.zeros(n, dtype=np.int64)
+            )
+        for f in self.feature_set.numeric:
+            if f.name not in columns:
+                columns[f.name] = np.asarray(features[f.name]).reshape(-1)
+        batch = self.feature_set.encode(columns)
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        if "num_vals" not in batch:
+            batch["num_vals"] = np.zeros((n, 0), np.float32)
+        out = self._apply(self.params, batch)
+        return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+
+
+def load_model(export_dir: str | Path) -> ServingModel:
+    """Rebuild a ServingModel from an export directory."""
+    export_dir = Path(export_dir)
+    meta = json.loads((export_dir / "model.json").read_text())
+    with np.load(export_dir / "arrays.npz") as z:
+        flat = {k: z[k] for k in z.files}
+    params = _rebuild(meta["template"], flat)
+    tc = meta["tower_config"]
+    feature_set = ml_100k_feature_set(numeric=tuple(meta.get("numeric_features", ())))
+    cfg = TowerConfig(
+        feature_set=feature_set,
+        embedding_size=tc["embedding_size"],
+        hidden_units=tuple(tc["hidden_units"]),
+        activation=tc["activation"],
+        dropout=tc["dropout"],
+        embedding_impl=tc.get("embedding_impl", "auto"),
+        fm_impl=tc.get("fm_impl", "auto"),
+        compute_dtype=tc.get("compute_dtype"),
+        table_padding=tc.get("table_padding", 8),
+    )
+    model_cls = MODEL_REGISTRY[meta["model"]]
+    kwargs = meta.get("model_kwargs", {})
+    model = model_cls(cfg, **kwargs) if kwargs else model_cls(cfg)
+    return ServingModel(model, params, feature_set)
+
+
+def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5):
+    """An exporter callback for the Trainer (LatestExporter parity)."""
+
+    def exporter(params, step):
+        export_model(params, model, job_dir, step, exports_to_keep)
+
+    return exporter

@@ -1,0 +1,254 @@
+"""The training loop: jit-compiled train/eval steps with checkpoint/export cadence.
+
+Replaces ``tf.estimator.train_and_evaluate`` + RunConfig/TrainSpec/EvalSpec
+(/root/reference/trainers/conf_utils.py:3-34, deep_fm.py:178). The per-step
+``session.run`` of the reference becomes:
+
+  - ``train_step``: forward + backward + optimizer update, one XLA program,
+    executed K steps per host-loop iteration via ``lax.scan`` over a stacked
+    super-batch (kills per-step dispatch overhead — the reference pays a
+    Python<->C++ boundary every 32-row step);
+  - ``eval_step``: forward + streaming-metric accumulation, one XLA program,
+    full ordered pass over the eval set with zero-weight padding;
+  - wall-clock (save_checkpoints_secs=60, reference parity) or step-based
+    checkpointing with keep-N rotation, eval + export after each save, exactly
+    like the reference's continuous train-and-evaluate cadence;
+  - exact resume: params + optimizer state + RNG + input-pipeline position.
+
+Distribution plugs in via a ``ParallelPlan`` (rectpu.parallel): batch/param
+shardings and an EP lookup_fn are applied around the same step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rectpu.train import metrics as metrics_lib
+from rectpu.train.checkpoint import Checkpointer
+from rectpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+EVAL_INTERVAL = 60  # seconds, reference parity (conf_utils.py:3)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 32
+    train_steps: int = 20000
+    eval_batch_size: int | None = None  # defaults to batch_size
+    save_checkpoints_secs: float | None = EVAL_INTERVAL
+    save_checkpoints_steps: int | None = None  # overrides secs if set
+    keep_checkpoint_max: int = 5
+    log_every_steps: int = 100
+    steps_per_loop: int = 100
+    seed: int = 42
+    final_eval: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer,
+        train_ds,
+        eval_ds,
+        job_dir: str | Path,
+        config: TrainConfig,
+        plan=None,
+        exporter=None,
+        event_writer=None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.train_ds = train_ds
+        self.eval_ds = eval_ds
+        self.job_dir = Path(job_dir)
+        self.config = config
+        self.plan = plan
+        self.exporter = exporter
+        self.ckpt = Checkpointer(self.job_dir, keep=config.keep_checkpoint_max)
+        if event_writer is None:
+            try:
+                from rectpu.utils.events import EventWriter
+
+                event_writer = EventWriter(self.job_dir)
+            except Exception:  # pragma: no cover
+                event_writer = None
+        self.events = event_writer
+        self._build_steps()
+
+    # -- step functions --------------------------------------------------------
+
+    def _lookup_fn(self):
+        return self.plan.lookup_fn if self.plan is not None else None
+
+    def _loss_fn(self, params, batch, rng):
+        logits = self.model.apply(
+            params, batch, train=True, rng=rng, lookup_fn=self._lookup_fn()
+        )
+        losses = metrics_lib.sigmoid_xent(logits, batch["labels"])
+        return losses.mean()
+
+    def _build_steps(self):
+        optimizer = self.optimizer
+
+        def one_step(carry, batch):
+            params, opt_state, rng, step = carry
+            step_rng = jax.random.fold_in(rng, step)
+            loss, grads = jax.value_and_grad(self._loss_fn)(params, batch, step_rng)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return (params, opt_state, rng, step + 1), loss
+
+        def train_chunk(params, opt_state, rng, step, batches):
+            (params, opt_state, _, step), losses = jax.lax.scan(
+                one_step, (params, opt_state, rng, step), batches
+            )
+            return params, opt_state, step, losses
+
+        def eval_step(params, mstate, batch):
+            logits = self.model.apply(params, batch, train=False, lookup_fn=self._lookup_fn())
+            preds = metrics_lib.binary_predictions(logits)
+            losses = metrics_lib.sigmoid_xent(logits, batch["labels"])
+            return metrics_lib.update_state(
+                mstate, preds["probabilities"], batch["labels"],
+                losses=losses, weights=batch.get("weights"),
+            )
+
+        if self.plan is not None:
+            self._train_chunk = self.plan.jit_train_chunk(train_chunk)
+            self._eval_step = self.plan.jit_eval_step(eval_step)
+        else:
+            self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
+
+    # -- data staging ------------------------------------------------------------
+
+    def _stack_batches(self, batch_iter, k: int):
+        """Stack k consecutive batches into one [k, B, ...] super-batch."""
+        bs, state = [], None
+        for _ in range(k):
+            b, state = next(batch_iter)
+            bs.append(b)
+        stacked = {key: np.stack([b[key] for b in bs]) for key in bs[0]}
+        if self.plan is not None:
+            stacked = self.plan.shard_superbatch(stacked)
+        return stacked, state
+
+    # -- public API ---------------------------------------------------------------
+
+    def evaluate(self, params) -> dict:
+        """One full pass over the eval set -> metric dict (floats)."""
+        eval_bs = self.config.eval_batch_size or max(self.config.batch_size, 512)
+        mstate = metrics_lib.init_state()
+        if self.plan is not None:
+            mstate = self.plan.replicate_metric_state(mstate)
+        for batch in self.eval_ds.eval_batches(eval_bs):
+            if self.plan is not None:
+                batch = self.plan.shard_batch(batch)
+            mstate = self._eval_step(params, mstate, batch)
+        result = metrics_lib.finalize(jax.device_get(mstate))
+        return {k: float(v) for k, v in result.items()}
+
+    def train_and_evaluate(self, restore: bool = True) -> dict:
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+        params = self.model.init(rng)
+        opt_state = self.optimizer.init(params)
+        step = 0
+        data_state = None
+
+        if restore:
+            snapshot = self.ckpt.restore()
+            if snapshot is not None:
+                tree, meta = snapshot
+                params, opt_state = tree["params"], tree["opt_state"]
+                step = meta["step"]
+                from rectpu.io.loader import DataState
+
+                if meta.get("data_state"):
+                    data_state = DataState(**meta["data_state"])
+                logger.info("restored checkpoint at step %s", step)
+
+        if self.plan is not None:
+            params = self.plan.shard_params(params)
+            opt_state = self.plan.shard_params(opt_state)
+
+        batch_iter = self.train_ds.train_batches(cfg.batch_size, state=data_state, seed=cfg.seed)
+        last_save = time.time()
+        t_loop = time.time()
+        examples_acc = 0
+        last_metrics: dict = {}
+
+        def save(step, params, opt_state, data_state):
+            self.ckpt.save(
+                step,
+                {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)},
+                extra_meta={
+                    "data_state": dataclasses.asdict(data_state) if data_state else None,
+                    "model": getattr(self.model, "name", "model"),
+                },
+            )
+
+        while step < cfg.train_steps:
+            k = min(cfg.steps_per_loop, cfg.train_steps - step)
+            stacked, data_state = self._stack_batches(batch_iter, k)
+            params, opt_state, step_dev, losses = self._train_chunk(
+                params, opt_state, rng, jnp.asarray(step, jnp.int32), stacked
+            )
+            step += k
+            examples_acc += k * cfg.batch_size
+
+            if cfg.log_every_steps and (step % cfg.log_every_steps < cfg.steps_per_loop):
+                losses_h = np.asarray(jax.device_get(losses))
+                dt = time.time() - t_loop
+                eps = examples_acc / max(dt, 1e-9)
+                logger.info(
+                    "step %d: loss = %.5f (%.1f examples/sec)", step, float(losses_h[-1]), eps
+                )
+                if self.events:
+                    self.events.add_scalar("loss", float(losses_h[-1]), step)
+                    self.events.add_scalar("examples_per_sec", eps, step)
+                t_loop = time.time()
+                examples_acc = 0
+
+            due_steps = cfg.save_checkpoints_steps and step % cfg.save_checkpoints_steps == 0
+            due_secs = (
+                cfg.save_checkpoints_steps is None
+                and cfg.save_checkpoints_secs is not None
+                and time.time() - last_save >= cfg.save_checkpoints_secs
+            )
+            if (due_steps or due_secs) and step < cfg.train_steps:
+                save(step, params, opt_state, data_state)
+                last_save = time.time()
+                last_metrics = self.evaluate(params)
+                logger.info("eval at step %d: %s", step, _fmt_metrics(last_metrics))
+                if self.events:
+                    self.events.add_scalars(
+                        {f"eval/{k}": v for k, v in last_metrics.items()}, step
+                    )
+                if self.exporter is not None:
+                    self.exporter(params, step)
+
+        save(step, params, opt_state, data_state)
+        if cfg.final_eval:
+            last_metrics = self.evaluate(params)
+            logger.info("final eval at step %d: %s", step, _fmt_metrics(last_metrics))
+            if self.events:
+                self.events.add_scalars({f"eval/{k}": v for k, v in last_metrics.items()}, step)
+        if self.exporter is not None:
+            self.exporter(params, step)
+        if self.events:
+            self.events.flush()
+        self._final_params = params
+        return last_metrics
+
+
+def _fmt_metrics(m: dict) -> str:
+    return ", ".join(f"{k} = {v:.5f}" for k, v in sorted(m.items()))

@@ -30,12 +30,15 @@ def auc_thresholds(num_thresholds: int = NUM_THRESHOLDS) -> np.ndarray:
 
 
 def init_state(num_thresholds: int = NUM_THRESHOLDS) -> dict:
-    z = jnp.zeros((num_thresholds,), jnp.float32)
+    def z():
+        # distinct buffers: a shared zeros array breaks donate_argnums
+        return jnp.zeros((num_thresholds,), jnp.float32)
+
     return {
-        "tp": z,
-        "fp": z,
-        "tn": z,
-        "fn": z,
+        "tp": z(),
+        "fp": z(),
+        "tn": z(),
+        "fn": z(),
         "correct": jnp.zeros((), jnp.float32),
         "loss_sum": jnp.zeros((), jnp.float32),
         "count": jnp.zeros((), jnp.float32),

@@ -1,0 +1,107 @@
+"""Shared CLI harness for the four trainers.
+
+Preserves the reference trainers' CLI contract (flags, defaults, job-dir
+wipe-unless---restore semantics; e.g. /root/reference/trainers/deep_fm.py:181-209)
+while adding TPU-framework knobs (batch scaling, step-based cadence, kernel
+impl selection, mesh shape) behind new optional flags.
+"""
+
+from __future__ import annotations
+
+import shutil
+from argparse import ArgumentParser
+from pathlib import Path
+
+from rectpu.utils.logging import get_logger
+
+logger = get_logger("rectpu.trainers")
+
+
+def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
+    parser.add_argument("--train-csv", default="data/ml-100k/train.csv",
+                        help="path to the training csv data (default: %(default)s)")
+    parser.add_argument("--test-csv", default="data/ml-100k/test.csv",
+                        help="path to the test csv data (default: %(default)s)")
+    parser.add_argument("--job-dir", default=job_dir_default,
+                        help="job directory (default: %(default)s)")
+    parser.add_argument("--restore", action="store_true",
+                        help="whether to restore from job_dir")
+    parser.add_argument("--batch-size", type=int, default=32,
+                        help="batch size (default: %(default)s)")
+    parser.add_argument("--train-steps", type=int, default=20000,
+                        help="number of training steps (default: %(default)s)")
+    # framework extensions (not in the reference CLI)
+    parser.add_argument("--eval-batch-size", type=int, default=None,
+                        help="eval batch size (default: max(batch, 512))")
+    parser.add_argument("--save-checkpoints-secs", type=float, default=60.0,
+                        help="wall-clock checkpoint+eval cadence (default: %(default)s)")
+    parser.add_argument("--save-checkpoints-steps", type=int, default=None,
+                        help="step-based checkpoint+eval cadence (overrides secs)")
+    parser.add_argument("--steps-per-loop", type=int, default=100,
+                        help="device steps per host-loop iteration (default: %(default)s)")
+    parser.add_argument("--seed", type=int, default=42, help="PRNG seed")
+    parser.add_argument("--embedding-impl", default="auto",
+                        choices=["auto", "take", "onehot", "pallas"],
+                        help="embedding lookup kernel (default: %(default)s)")
+    parser.add_argument("--fm-impl", default="auto", choices=["auto", "xla", "pallas"],
+                        help="FM-cross kernel (default: %(default)s)")
+    parser.add_argument("--compute-dtype", default=None, choices=[None, "bfloat16"],
+                        help="tower compute dtype (default: float32)")
+    parser.add_argument("--num-data-shards", type=int, default=1,
+                        help="data-parallel mesh size (1 = single device)")
+    parser.add_argument("--num-model-shards", type=int, default=1,
+                        help="embedding (EP) mesh size (1 = unsharded tables)")
+
+
+def add_deep_args(parser: ArgumentParser) -> None:
+    parser.add_argument("--embedding-size", type=int, default=4,
+                        help="embedding size (default: %(default)s)")
+    parser.add_argument("--hidden-units", type=int, nargs="+", default=[16, 16],
+                        help="hidden layer specification (default: %(default)s)")
+    parser.add_argument("--dropout", type=float, default=0.1,
+                        help="dropout rate (default: %(default)s)")
+
+
+def build_trainer(args, model, optimizer=None):
+    """Assemble datasets + Trainer + exporter from parsed args and a model."""
+    from rectpu.io.loader import CsvDataset
+    from rectpu.serve.export import make_exporter
+    from rectpu.train.loop import TrainConfig, Trainer
+
+    if not args.restore:
+        shutil.rmtree(args.job_dir, ignore_errors=True)
+    Path(args.job_dir).mkdir(parents=True, exist_ok=True)
+
+    fs = model.cfg.feature_set
+    train_ds = CsvDataset(args.train_csv, fs)
+    eval_ds = CsvDataset(args.test_csv, fs)
+
+    plan = None
+    if args.num_data_shards > 1 or args.num_model_shards > 1:
+        from rectpu.parallel.plan import ParallelPlan
+
+        plan = ParallelPlan.create(
+            num_data_shards=args.num_data_shards, num_model_shards=args.num_model_shards
+        )
+
+    config = TrainConfig(
+        batch_size=args.batch_size,
+        train_steps=args.train_steps,
+        eval_batch_size=args.eval_batch_size,
+        save_checkpoints_secs=args.save_checkpoints_secs,
+        save_checkpoints_steps=args.save_checkpoints_steps,
+        steps_per_loop=args.steps_per_loop,
+        seed=args.seed,
+    )
+    optimizer = optimizer or model.default_optimizer()
+    exporter = make_exporter(model, args.job_dir)
+    return Trainer(
+        model, optimizer, train_ds, eval_ds, args.job_dir, config, plan=plan, exporter=exporter
+    )
+
+
+def run(args, model, optimizer=None) -> dict:
+    trainer = build_trainer(args, model, optimizer)
+    metrics = trainer.train_and_evaluate(restore=args.restore)
+    logger.info("done: %s", metrics)
+    return metrics

@@ -1,0 +1,34 @@
+"""DNN trainer CLI — parity with /root/reference/trainers/deep.py.
+
+Canned-estimator equivalence: DNNClassifier over 26 embedding columns,
+hidden [16,16], dropout 0.1, Adagrad(0.05) default optimizer.
+"""
+
+from argparse import ArgumentParser
+
+from rectpu.features.schema import ml_100k_feature_set
+from rectpu.models import DNNModel, TowerConfig
+from rectpu.trainers.common import add_common_args, add_deep_args, run
+
+
+def train_and_evaluate(args):
+    cfg = TowerConfig(
+        feature_set=ml_100k_feature_set(),
+        embedding_size=args.embedding_size,
+        hidden_units=tuple(args.hidden_units),
+        dropout=args.dropout,
+        embedding_impl=args.embedding_impl,
+        compute_dtype=args.compute_dtype,
+    )
+    return run(args, DNNModel(cfg))
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser()
+    add_common_args(parser, job_dir_default="checkpoints/deep")
+    add_deep_args(parser)
+    return parser
+
+
+if __name__ == "__main__":
+    train_and_evaluate(build_parser().parse_args())

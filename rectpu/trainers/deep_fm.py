@@ -1,0 +1,63 @@
+"""DeepFM trainer CLI — parity with /root/reference/trainers/deep_fm.py.
+
+logits = linear + FM + DNN over a shared embedding input layer; Adam(1e-3).
+The reference's --exclude-* flags are honored as INTENDED (the reference
+builds always-truthy 1-tuples at deep_fm.py:135-137, silently disabling the
+flags; that bug is not reproduced).
+
+Extra flags beyond the reference: --optimizer/--learning-rate (the reference
+model_fn accepts these via params but never exposes them on the CLI) and
+--numeric-columns to exercise the numeric-embedding path (ref deep_fm.py:60-69,
+likewise unreachable from the reference CLI).
+"""
+
+from argparse import ArgumentParser
+
+from rectpu.features.schema import ml_100k_feature_set
+from rectpu.models import DeepFMModel, TowerConfig
+from rectpu.trainers.common import add_common_args, add_deep_args, run
+from rectpu.train.optimizers import get_optimizer
+
+
+def train_and_evaluate(args):
+    cfg = TowerConfig(
+        feature_set=ml_100k_feature_set(numeric=tuple(args.numeric_columns or ())),
+        embedding_size=args.embedding_size,
+        hidden_units=tuple(args.hidden_units),
+        dropout=args.dropout,
+        embedding_impl=args.embedding_impl,
+        fm_impl=args.fm_impl,
+        compute_dtype=args.compute_dtype,
+    )
+    model = DeepFMModel(
+        cfg,
+        use_linear=not args.exclude_linear,
+        use_mf=not args.exclude_mf,
+        use_dnn=not args.exclude_dnn,
+    )
+    optimizer = get_optimizer(args.optimizer, args.learning_rate)
+    return run(args, model, optimizer)
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser()
+    add_common_args(parser, job_dir_default="checkpoints/deep_fm")
+    add_deep_args(parser)
+    parser.add_argument("--exclude-linear", action="store_true",
+                        help="flag to exclude linear component (default: %(default)s)")
+    parser.add_argument("--exclude-mf", action="store_true",
+                        help="flag to exclude mf component (default: %(default)s)")
+    parser.add_argument("--exclude-dnn", action="store_true",
+                        help="flag to exclude dnn component (default: %(default)s)")
+    parser.add_argument("--optimizer", default="Adam",
+                        choices=["Adagrad", "Adam", "Ftrl", "RMSProp", "SGD"],
+                        help="optimizer (default: %(default)s)")
+    parser.add_argument("--learning-rate", type=float, default=0.001,
+                        help="learning rate (default: %(default)s)")
+    parser.add_argument("--numeric-columns", nargs="*", default=[],
+                        help="numeric feature columns fed via the value*vector embedding trick")
+    return parser
+
+
+if __name__ == "__main__":
+    train_and_evaluate(build_parser().parse_args())

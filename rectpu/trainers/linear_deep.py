@@ -1,0 +1,35 @@
+"""Wide&Deep trainer CLI — parity with /root/reference/trainers/linear_deep.py.
+
+Canned-estimator equivalence: DNNLinearCombinedClassifier — linear tower over
+sparse columns (FTRL) + DNN tower over embedding columns (Adagrad), joint
+training with per-tower optimizers.
+"""
+
+from argparse import ArgumentParser
+
+from rectpu.features.schema import ml_100k_feature_set
+from rectpu.models import TowerConfig, WideDeepModel
+from rectpu.trainers.common import add_common_args, add_deep_args, run
+
+
+def train_and_evaluate(args):
+    cfg = TowerConfig(
+        feature_set=ml_100k_feature_set(),
+        embedding_size=args.embedding_size,
+        hidden_units=tuple(args.hidden_units),
+        dropout=args.dropout,
+        embedding_impl=args.embedding_impl,
+        compute_dtype=args.compute_dtype,
+    )
+    return run(args, WideDeepModel(cfg))
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser()
+    add_common_args(parser, job_dir_default="checkpoints/linear_deep")
+    add_deep_args(parser)
+    return parser
+
+
+if __name__ == "__main__":
+    train_and_evaluate(build_parser().parse_args())

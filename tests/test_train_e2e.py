@@ -1,0 +1,132 @@
+"""End-to-end integration: train -> eval -> checkpoint -> restore -> export -> predict
+for all four models on synthetic schema-identical data (SURVEY.md §4 plan)."""
+
+import numpy as np
+import pytest
+
+from rectpu.train.metrics import exact_auc
+
+
+def _args(model_name, synthetic_dir, tmp_path, **over):
+    import importlib
+
+    mod = importlib.import_module(f"rectpu.trainers.{model_name}")
+    parser = mod.build_parser()
+    argv = [
+        "--train-csv", synthetic_dir["train"],
+        "--test-csv", synthetic_dir["test"],
+        "--job-dir", str(tmp_path / model_name),
+        "--train-steps", str(over.pop("train_steps", 1500)),
+        "--batch-size", "64",
+        "--steps-per-loop", "50",
+        "--save-checkpoints-steps", str(over.pop("save_steps", 300)),
+    ]
+    for k, v in over.items():
+        argv += [f"--{k.replace('_', '-')}", str(v)]
+    return mod, parser.parse_args(argv)
+
+
+@pytest.mark.parametrize("name", ["linear", "deep", "linear_deep", "deep_fm"])
+def test_trainer_learns_and_exports(name, synthetic_dir, tmp_path):
+    mod, args = _args(name, synthetic_dir, tmp_path)
+    metrics = mod.train_and_evaluate(args)
+    # the synthetic task is learnable: AUC clearly above chance
+    assert metrics["auc"] > 0.6, metrics
+    assert metrics["count"] == 1200
+    assert 0 < metrics["average_loss"] < 1.0
+
+    # export exists and predicts through the serving schema
+    from rectpu.serve.export import latest_export, load_model
+
+    export_dir = latest_export(args.job_dir)
+    assert export_dir is not None
+    served = load_model(export_dir)
+    req = {
+        "user_id": np.array([1, 2, 3]),
+        "item_id": np.array([10, 20, 30]),
+        "age": np.array([25, 40, 60]),
+        "gender": np.array(["F", "M", "M"]),
+        "occupation": np.array(["student", "engineer", "artist"]),
+        "zipcode": np.array(["12345", "54321", "00000"]),
+        "release_year": np.array([1994, 1980, 1955]),
+        "action": np.array([1, 0, 1]),  # optional genre flag
+    }
+    out = served.predict(req)
+    assert out["probabilities"].shape == (3,)
+    assert np.all((out["probabilities"] >= 0) & (out["probabilities"] <= 1))
+    assert set(out) == {"logits", "logistic", "probabilities", "class_id"}
+
+
+def test_deep_fm_loss_goes_down(synthetic_dir, tmp_path):
+    mod, args = _args("deep_fm", synthetic_dir, tmp_path, train_steps=400, save_steps=10000)
+    trainer_metrics = mod.train_and_evaluate(args)
+    # compare against an untrained model's eval loss
+    mod2, args2 = _args("deep_fm", synthetic_dir, tmp_path / "fresh", train_steps=1, save_steps=10000)
+    untrained = mod2.train_and_evaluate(args2)
+    assert trainer_metrics["average_loss"] < untrained["average_loss"]
+    assert trainer_metrics["auc"] > untrained["auc"]
+
+
+def test_restore_resumes_exactly(synthetic_dir, tmp_path):
+    """A run of 200+200 steps (restore in between) equals one 400-step run."""
+    mod, args_a = _args("deep_fm", synthetic_dir, tmp_path / "a", train_steps=400, save_steps=10**6)
+    m_single = mod.train_and_evaluate(args_a)
+
+    mod, args_b1 = _args("deep_fm", synthetic_dir, tmp_path / "b", train_steps=200, save_steps=10**6)
+    mod.train_and_evaluate(args_b1)
+    mod, args_b2 = _args("deep_fm", synthetic_dir, tmp_path / "b", train_steps=400, save_steps=10**6)
+    args_b2.restore = True
+    m_resumed = mod.train_and_evaluate(args_b2)
+
+    assert np.isclose(m_single["average_loss"], m_resumed["average_loss"], rtol=1e-4), (
+        m_single, m_resumed,
+    )
+    assert np.isclose(m_single["auc"], m_resumed["auc"], atol=1e-4)
+
+
+def test_deep_fm_exclude_flags_work(synthetic_dir, tmp_path):
+    """The reference's broken --exclude-* flags behave as intended here."""
+    mod, args = _args("deep_fm", synthetic_dir, tmp_path, train_steps=50, save_steps=10**6)
+    args.exclude_dnn = True
+    args.exclude_mf = True
+    trainer = None
+    from rectpu.trainers.common import build_trainer
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+
+    cfg = TowerConfig(feature_set=ml_100k_feature_set())
+    model = DeepFMModel(cfg, use_linear=True, use_mf=False, use_dnn=False)
+    assert set(model.init(__import__("jax").random.PRNGKey(0)).keys()) == {"linear"}
+
+
+def test_eval_auc_matches_exact_oracle(synthetic_dir, tmp_path):
+    """The streaming 200-bucket AUC over the real eval path matches the exact
+    rank-based AUC computed offline."""
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.io.loader import CsvDataset
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.loop import TrainConfig, Trainer
+
+    cfg = TowerConfig(feature_set=ml_100k_feature_set())
+    model = DeepFMModel(cfg)
+    fs = cfg.feature_set
+    train_ds = CsvDataset(synthetic_dir["train"], fs)
+    eval_ds = CsvDataset(synthetic_dir["test"], fs)
+    trainer = Trainer(
+        model, model.default_optimizer(), train_ds, eval_ds, tmp_path / "oracle",
+        TrainConfig(batch_size=64, train_steps=200, steps_per_loop=50,
+                    save_checkpoints_steps=10**6),
+    )
+    trainer.train_and_evaluate(restore=False)
+    params = trainer._final_params
+    m = trainer.evaluate(params)
+
+    logits = model.apply(params, {
+        "cat_ids": eval_ds.cat_ids,
+        "num_vals": eval_ds.num_vals,
+    })
+    probs = np.asarray(jax.nn.sigmoid(logits))
+    oracle = exact_auc(probs, eval_ds.labels)
+    assert abs(m["auc"] - oracle) < 0.005
