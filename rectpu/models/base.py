@@ -112,7 +112,7 @@ class TowerConfig:
     embedding_impl: str = "auto"  # rectpu.ops.embedding implementation
     fm_impl: str = "auto"  # rectpu.ops.fm implementation
     compute_dtype: str | None = None  # e.g. "bfloat16" for MXU-friendly towers
-    table_padding: int = 8  # pad table rows for tiling/sharding
+    table_padding: int = 128  # pad table rows to a lane multiple (tiling + EP sharding)
 
     @property
     def num_fields(self) -> int:

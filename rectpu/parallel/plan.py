@@ -1,0 +1,87 @@
+"""ParallelPlan: the glue between the Trainer and a device mesh.
+
+Encapsulates every sharding decision so the train/eval step functions stay
+mesh-agnostic:
+  - batch/superbatch arrays  -> P('data') on the batch dim
+  - embedding-table params   -> P('model', None) row-sharding (EP) when the
+    'model' axis is >1, plus the matching optimizer-state leaves
+  - everything else          -> replicated; DP gradient psum is emitted by
+    GSPMD from the shardings (no explicit collectives in the step)
+  - lookup_fn                -> the shard_map EP exchange when EP is on
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rectpu.parallel.embedding_ep import make_ep_lookup
+from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+
+@dataclass
+class ParallelPlan:
+    mesh: Mesh
+    ep: bool  # row-shard embedding tables over 'model'
+    lookup_fn: object | None
+    table_rows: int | None = None  # padded table row count, the EP key
+
+    @classmethod
+    def create(
+        cls, num_data_shards: int, num_model_shards: int = 1, devices=None,
+        table_rows: int | None = None,
+    ):
+        mesh = make_mesh(num_data_shards, num_model_shards, devices)
+        ep = num_model_shards > 1
+        lookup_fn = make_ep_lookup(mesh) if ep else None
+        return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows)
+
+    # -- shardings ----------------------------------------------------------
+
+    def _sh(self, spec) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+    def _param_spec(self, leaf) -> P:
+        # row-shard [table_rows, K] tables over 'model' (opt-state twins share
+        # the shape, so they follow the same rule); replicate everything else.
+        if (
+            self.ep
+            and self.table_rows is not None
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[0] == self.table_rows
+        ):
+            return P(MODEL_AXIS, None)
+        return P()
+
+    def shard_params(self, params):
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, self._sh(self._param_spec(leaf))), params
+        )
+
+    def shard_batch(self, batch: dict) -> dict:
+        out = {}
+        for k, v in batch.items():
+            spec = P(DATA_AXIS, *([None] * (np.ndim(v) - 1)))
+            out[k] = jax.device_put(v, self._sh(spec))
+        return out
+
+    def shard_superbatch(self, stacked: dict) -> dict:
+        out = {}
+        for k, v in stacked.items():
+            spec = P(None, DATA_AXIS, *([None] * (np.ndim(v) - 2)))
+            out[k] = jax.device_put(v, self._sh(spec))
+        return out
+
+    def replicate_metric_state(self, mstate):
+        return jax.tree.map(lambda leaf: jax.device_put(leaf, self._sh(P())), mstate)
+
+    # -- jit wrappers --------------------------------------------------------
+
+    def jit_train_chunk(self, train_chunk):
+        return jax.jit(train_chunk, donate_argnums=(0, 1))
+
+    def jit_eval_step(self, eval_step):
+        return jax.jit(eval_step, donate_argnums=(1,))

@@ -81,7 +81,9 @@ def build_trainer(args, model, optimizer=None):
         from rectpu.parallel.plan import ParallelPlan
 
         plan = ParallelPlan.create(
-            num_data_shards=args.num_data_shards, num_model_shards=args.num_model_shards
+            num_data_shards=args.num_data_shards,
+            num_model_shards=args.num_model_shards,
+            table_rows=model.cfg.padded_buckets,
         )
 
     config = TrainConfig(

@@ -1,0 +1,136 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded == single-device results for EP lookup, DP training, sharded eval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectpu.features.schema import ml_100k_feature_set
+from rectpu.models import DeepFMModel, TowerConfig
+from rectpu.parallel import ParallelPlan, make_ep_lookup, make_mesh
+from rectpu.train.metrics import sigmoid_xent
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _batch(fs, b, rng):
+    offs, sizes = fs.offsets, fs.field_sizes
+    ids = np.stack([offs[f] + rng.integers(0, sizes[f], size=b) for f in range(fs.num_fields)], 1)
+    return {
+        "cat_ids": ids.astype(np.int32),
+        "num_vals": np.zeros((b, 0), np.float32),
+        "labels": (rng.random(b) < 0.3).astype(np.float32),
+    }
+
+
+def test_ep_lookup_matches_local(rng):
+    mesh = make_mesh(2, 4)
+    lookup = make_ep_lookup(mesh)
+    v, k = 512, 8
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, size=(16, 26)).astype(np.int32))
+    got = lookup(table, ids)
+    ref = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+def test_ep_lookup_grad_matches_local(rng):
+    mesh = make_mesh(2, 4)
+    lookup = make_ep_lookup(mesh)
+    v, k = 256, 4
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, size=(8, 26)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(8, 26, k)).astype(np.float32))
+
+    def obj(fn):
+        return jax.grad(lambda t: jnp.sum(w * fn(t, ids)))(table)
+
+    np.testing.assert_allclose(
+        np.asarray(obj(lookup)), np.asarray(obj(lambda t, i: jnp.take(t, i, axis=0))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_train_step_matches_single_device(shape, rng):
+    """One jitted train step on a (data x model) mesh must equal the
+    single-device step bit-for-bit (same math, just sharded)."""
+    nd, nm = shape
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=8 * nm)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = model.default_optimizer()
+    opt_state = opt.init(params)
+    batch = _batch(fs, 32, rng)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def step(params, opt_state, batch, lookup_fn):
+        def loss_fn(p):
+            logits = model.apply(p, batch, train=False, lookup_fn=lookup_fn)
+            return sigmoid_xent(logits, batch["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    # single device reference
+    p_ref, _, loss_ref = jax.jit(lambda p, s, b: step(p, s, b, None))(
+        params, opt_state, batch_j
+    )
+
+    # sharded
+    plan = ParallelPlan.create(nd, nm, table_rows=cfg.padded_buckets)
+    p_sh = plan.shard_params(params)
+    s_sh = plan.shard_params(opt_state)
+    b_sh = plan.shard_batch(batch)
+    p_out, _, loss_sh = jax.jit(lambda p, s, b: step(p, s, b, plan.lookup_fn))(
+        p_sh, s_sh, b_sh
+    )
+
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        jax.device_get(p_ref), jax.device_get(p_out),
+    )
+
+
+def test_param_sharding_rules():
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, table_padding=32)
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets)
+    model = DeepFMModel(cfg)
+    params = plan.shard_params(model.init(jax.random.PRNGKey(0)))
+    emb_sharding = params["emb"].sharding
+    assert emb_sharding.spec == jax.sharding.PartitionSpec("model", None)
+    # mlp kernels replicated
+    assert params["mlp"][0]["kernel"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_trainer_with_plan_matches_unsharded(synthetic_dir, tmp_path):
+    """A full Trainer run on a 4x2 (DP x EP) mesh reproduces the unsharded
+    run's eval metrics exactly — the strongest distributed-correctness check."""
+    from rectpu.io.loader import CsvDataset
+    from rectpu.train.loop import TrainConfig, Trainer
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16), table_padding=16)
+    train_ds = CsvDataset(synthetic_dir["train"], fs)
+    eval_ds = CsvDataset(synthetic_dir["test"], fs)
+    tc = TrainConfig(batch_size=64, train_steps=400, steps_per_loop=50,
+                     save_checkpoints_steps=10**6)
+
+    def run(plan, tag):
+        model = DeepFMModel(cfg)
+        trainer = Trainer(
+            model, model.default_optimizer(), train_ds, eval_ds, tmp_path / tag, tc, plan=plan
+        )
+        return trainer.train_and_evaluate(restore=False)
+
+    m_ref = run(None, "unsharded")
+    m_sh = run(ParallelPlan.create(4, 2, table_rows=cfg.padded_buckets), "sharded")
+    assert m_sh["count"] == 1200
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(m_ref[key], m_sh[key], rtol=1e-5, atol=1e-6), (key, m_ref, m_sh)
