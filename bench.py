@@ -1,0 +1,270 @@
+"""Benchmark: DeepFM training throughput (examples/sec/chip) on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N, ...}
+
+Configuration is the BASELINE.json scaled config (configs[4]): DeepFM with
+embedding_size=64, hidden [256,128], large hashed vocab (user 100k / item 200k
+/ zipcode 10k), batch 8192, bf16 towers — measured as steady-state training
+throughput (forward + backward + optimizer update) on one chip.
+
+``vs_baseline`` is measured against a CPU proxy of the reference: the same
+DeepFM math in torch (CPU, batch 32 — the reference's TF-1.12 defaults,
+/root/reference/trainers/deep_fm.py:197-206). The reference publishes no
+numbers (BASELINE.md), so the proxy is measured fresh on this machine each
+run; all details go to stderr, only the JSON line to stdout.
+
+Usage: python bench.py [--steps 200] [--batch 8192] [--kernels] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def scaled_feature_set():
+    """The BASELINE 'large hashed vocab' variant of the ml-100k schema."""
+    from rectpu.features.schema import (
+        GENRE,
+        BucketizedFeature,
+        FeatureSet,
+        HashFeature,
+        IdentityFeature,
+        VocabFeature,
+    )
+
+    feats = [
+        HashFeature("user_id", 100_000, dtype="int32"),
+        HashFeature("item_id", 200_000, dtype="int32"),
+        BucketizedFeature("age", tuple(range(15, 66, 10))),
+        VocabFeature("gender", ("F", "M"), num_oov_buckets=1),
+        HashFeature("occupation", 50),
+        HashFeature("zipcode", 10_000),
+        BucketizedFeature("release_year", tuple(range(1930, 1991, 10))),
+    ]
+    feats.extend(IdentityFeature(g, 2) for g in GENRE)
+    return FeatureSet(categorical=tuple(feats))
+
+
+def random_superbatch(fs, k, batch, seed=0):
+    rng = np.random.default_rng(seed)
+    offs, sizes = fs.offsets, fs.field_sizes
+    ids = np.stack(
+        [
+            offs[f] + rng.integers(0, sizes[f], size=(k, batch))
+            for f in range(fs.num_fields)
+        ],
+        axis=2,
+    ).astype(np.int32)
+    return {
+        "cat_ids": ids,
+        "num_vals": np.zeros((k, batch, 0), np.float32),
+        "labels": (rng.random((k, batch)) < 0.2).astype(np.float32),
+    }
+
+
+def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.metrics import sigmoid_xent
+
+    fs = scaled_feature_set()
+    cfg = TowerConfig(
+        feature_set=fs,
+        embedding_size=embedding_size,
+        hidden_units=hidden,
+        dropout=0.1,
+        compute_dtype="bfloat16",
+        table_padding=128,
+    )
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = model.default_optimizer()
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    def one_step(carry, b):
+        params, opt_state, step = carry
+        step_rng = jax.random.fold_in(rng, step)
+
+        def loss_fn(p):
+            logits = model.apply(p, b, train=True, rng=step_rng)
+            return sigmoid_xent(logits, b["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return (params, opt_state, step + 1), loss
+
+    @jax.jit
+    def chunk(params, opt_state, step, batches):
+        (params, opt_state, step), losses = jax.lax.scan(
+            one_step, (params, opt_state, step), batches
+        )
+        return params, opt_state, step, losses
+
+    k = 20
+    sb = random_superbatch(fs, k, batch)
+    sb = {kk: jax.device_put(v) for kk, v in sb.items()}
+    step = jnp.zeros((), jnp.int32)
+
+    # warmup + compile
+    t0 = time.time()
+    params, opt_state, step, losses = chunk(params, opt_state, step, sb)
+    jax.block_until_ready(losses)
+    log(f"tpu: compile+warmup {time.time()-t0:.1f}s; loss[0]={float(losses[0]):.4f}")
+
+    n_chunks = max(steps // k, 2)
+    t0 = time.time()
+    for _ in range(n_chunks):
+        params, opt_state, step, losses = chunk(params, opt_state, step, sb)
+    jax.block_until_ready(losses)
+    dt = time.time() - t0
+    total = n_chunks * k * batch
+    eps = total / dt
+    log(f"tpu: {n_chunks * k} steps x batch {batch} in {dt:.2f}s -> {eps:,.0f} examples/s")
+    return {"examples_per_sec": eps, "steps": n_chunks * k, "batch": batch, "seconds": dt}
+
+
+def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:
+    """The reference's workload (TF-1.12 Estimator DeepFM, CPU, batch 32)
+    proxied in torch CPU: same towers, same batch, full train step."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(torch.get_num_threads(), 4))
+    v, f, k_emb, batch = 4106, 26, 4, 32
+
+    emb = torch.nn.Embedding(v, k_emb)
+    lin = torch.nn.Embedding(v, 1)
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(f * k_emb, 16), torch.nn.ReLU(), torch.nn.Dropout(0.1),
+        torch.nn.Linear(16, 16), torch.nn.ReLU(), torch.nn.Dropout(0.1),
+        torch.nn.Linear(16, 1),
+    )
+    params = list(emb.parameters()) + list(lin.parameters()) + list(mlp.parameters())
+    opt = torch.optim.Adam(params, lr=1e-3)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+
+    ids = torch.randint(0, v, (64, batch, f))
+    labels = (torch.rand(64, batch) < 0.2).float()
+
+    def step(i):
+        b = ids[i % 64]
+        e = emb(b)  # [B, F, K]
+        s = e.sum(1)
+        fm = 0.5 * (s.square() - e.square().sum(1)).sum(1)
+        dnn = mlp(e.reshape(batch, -1))[:, 0]
+        logits = lin(b).sum(1)[:, 0] + fm + dnn
+        loss = loss_fn(logits, labels[i % 64])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    for i in range(10):  # warmup
+        step(i)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        step(n)
+        n += 1
+    eps = n * batch / (time.time() - t0)
+    log(f"cpu proxy (torch, batch {batch}): {n} steps -> {eps:,.0f} examples/s")
+    return eps
+
+
+def bench_kernels() -> dict:
+    """Micro-benchmarks: pallas vs XLA for FM-cross and embedding lookup."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectpu.ops.embedding import lookup_onehot, lookup_pallas, lookup_take
+    from rectpu.ops.fm import fm_cross_pallas, fm_cross_xla
+
+    results = {}
+    b, f, k = 8192, 26, 64
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(b, f, k)).astype(np.float32))
+
+    def timeit(fn, *args, iters=50):
+        out = jax.block_until_ready(jax.jit(fn)(*args))
+        t0 = time.time()
+        for _ in range(iters):
+            out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters
+
+    for name, fn in [("fm_xla", fm_cross_xla), ("fm_pallas", fm_cross_pallas)]:
+        grad_fn = jax.grad(lambda x: jnp.sum(fn(x)))
+        results[name + "_fwd_ms"] = timeit(fn, v) * 1e3
+        results[name + "_bwd_ms"] = timeit(grad_fn, v) * 1e3
+
+    table = jnp.asarray(np.random.default_rng(1).normal(size=(4224, 64)).astype(np.float32))
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 4106, size=(8192, 26)).astype(np.int32))
+    for name, fn in [("take", lookup_take), ("onehot", lookup_onehot), ("pallas", lookup_pallas)]:
+        grad_fn = jax.grad(lambda t: jnp.sum(fn(t, ids)))
+        results[f"lookup_{name}_fwd_ms"] = timeit(fn, table, ids) * 1e3
+        results[f"lookup_{name}_bwd_ms"] = timeit(grad_fn, table) * 1e3
+    for k_, v_ in results.items():
+        log(f"kernel {k_}: {v_:.3f} ms")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--kernels", action="store_true", help="also run kernel micro-benchmarks")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.steps = 60
+
+    import jax
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    tpu = bench_tpu(args.batch, args.steps)
+    cpu_eps = bench_cpu_reference_proxy(2.0 if args.quick else 4.0)
+
+    extra = {}
+    if args.kernels:
+        extra = bench_kernels()
+
+    result = {
+        "metric": "deepfm_train_examples_per_sec_per_chip",
+        "value": round(tpu["examples_per_sec"], 1),
+        "unit": "examples/s",
+        "vs_baseline": round(tpu["examples_per_sec"] / cpu_eps, 2),
+        "baseline": {
+            "name": "cpu_reference_proxy_torch_batch32",
+            "examples_per_sec": round(cpu_eps, 1),
+        },
+        "config": {
+            "model": "deep_fm",
+            "batch": tpu["batch"],
+            "embedding_size": 64,
+            "hidden_units": [256, 128],
+            "vocab_rows": 310_497,
+            "compute_dtype": "bfloat16",
+            "backend": backend,
+        },
+    }
+    if extra:
+        result["kernels_ms"] = {k: round(v, 3) for k, v in extra.items()}
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
