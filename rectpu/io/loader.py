@@ -45,7 +45,10 @@ def read_csv_columns(csv_path: str | Path, columns: list[str]) -> dict:
     """Read a CSV into {column -> np array}, applying schema defaults."""
     import pandas as pd
 
-    df = pd.read_csv(csv_path)
+    # string columns must stay strings: pandas would otherwise parse "03364"
+    # zipcodes as int 3364, losing leading zeros (TF's decode_csv keeps them)
+    str_cols = {c: str for c in columns if is_string_column(c)}
+    df = pd.read_csv(csv_path, dtype=str_cols)
     out = {}
     for col in columns:
         default = column_default(col)
