@@ -1,0 +1,70 @@
+"""Kernel auto-selection: measure the interchangeable impls, pin the winners.
+
+Run once per (hardware, shape regime) — typically at trainer start with
+``--embedding-impl auto --fm-impl auto`` on TPU — and the dispatchers in
+rectpu.ops resolve "auto" to the measured winners. Honest by construction:
+the Pallas kernels only get used where they beat XLA on the actual shapes.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rectpu.ops import embedding as emb_ops
+from rectpu.ops import fm as fm_ops
+from rectpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def _time(fn, *args, iters=20):
+    out = jax.block_until_ready(jax.jit(fn)(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def autotune(batch: int, num_fields: int, embedding_size: int, vocab_rows: int,
+             include_grad: bool = True) -> dict:
+    """Benchmark all impls at the working shapes; set the 'auto' defaults."""
+    rng = np.random.default_rng(0)
+    on_tpu = emb_ops._on_tpu()
+    table = jnp.asarray(rng.normal(size=(vocab_rows, embedding_size)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, vocab_rows, size=(batch, num_fields)).astype(np.int32))
+    v = jnp.asarray(rng.normal(size=(batch, num_fields, embedding_size)).astype(np.float32))
+
+    results = {}
+
+    # embedding lookup: one-hot variants only make sense for VMEM-sized vocabs
+    lookup_candidates = {"take": emb_ops.lookup_take}
+    if vocab_rows <= 16384:
+        lookup_candidates["onehot"] = emb_ops.lookup_onehot
+        lookup_candidates["pallas"] = emb_ops.lookup_pallas
+    for name, fn in lookup_candidates.items():
+        t = _time(fn, table, ids)
+        if include_grad:
+            t += _time(jax.grad(lambda tb: jnp.sum(fn(tb, ids))), table)
+        results[f"lookup/{name}"] = t
+    best_lookup = min(lookup_candidates, key=lambda n: results[f"lookup/{n}"])
+    emb_ops.set_auto_impl(best_lookup, on_tpu=on_tpu)
+
+    for name, fn in {"xla": fm_ops.fm_cross_xla, "pallas": fm_ops.fm_cross_pallas}.items():
+        t = _time(fn, v)
+        if include_grad:
+            t += _time(jax.grad(lambda x: jnp.sum(fn(x))), v)
+        results[f"fm/{name}"] = t
+    best_fm = min(("xla", "pallas"), key=lambda n: results[f"fm/{n}"])
+    fm_ops.set_auto_impl(best_fm, on_tpu=on_tpu)
+
+    logger.info(
+        "autotune: lookup=%s fm=%s (%s)",
+        best_lookup, best_fm,
+        {k: f"{1e3 * t:.3f}ms" for k, t in sorted(results.items())},
+    )
+    return {"lookup": best_lookup, "fm": best_fm, "timings_s": results}

@@ -1,0 +1,142 @@
+"""Serving tests: HTTP predict server, dataset cache, event-file writer."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def export_dir(tmp_path_factory):
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import export_model
+
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = TowerConfig(feature_set=ml_100k_feature_set())
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return export_model(params, model, tmp, step=1)
+
+
+def test_http_predict_server(export_dir):
+    from http.server import ThreadingHTTPServer
+
+    from rectpu.serve.export import load_model
+    from rectpu.serve.server import make_handler
+
+    served = load_model(export_dir)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(served))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps(
+            {
+                "instances": [
+                    {"user_id": 1, "item_id": 10, "age": 25, "gender": "F",
+                     "occupation": "student", "zipcode": "85711",
+                     "release_year": 1994, "action": 1},
+                    {"user_id": 2, "item_id": 20, "age": 60, "gender": "M",
+                     "occupation": "retired", "zipcode": "00000",
+                     "release_year": 1950},
+                ]
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out = json.loads(resp.read())
+        assert len(out["predictions"]) == 2
+        p = out["predictions"][0]
+        assert 0.0 <= p["probabilities"] <= 1.0
+        assert p["class_id"] in (0, 1)
+
+        # health check
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=10) as resp:
+            assert resp.read() == b"ok"
+
+        # malformed request -> 400 with error payload
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b'{"instances": [{}]}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "missing required" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_dataset_cache_roundtrip(synthetic_dir):
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.io.records import cache_path, load_cached, _spec_fingerprint
+
+    fs = ml_100k_feature_set()
+    a = load_cached(synthetic_dir["test"], fs)
+    cp = cache_path(synthetic_dir["test"], _spec_fingerprint(fs, "rating", 5))
+    assert cp.exists()
+    b = load_cached(synthetic_dir["test"], fs)  # cache hit
+    np.testing.assert_array_equal(a["cat_ids"], b["cat_ids"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+
+    # different schema -> different cache key, fresh encode
+    fs2 = ml_100k_feature_set(numeric=("age",))
+    c = load_cached(synthetic_dir["test"], fs2)
+    assert c["num_vals"].shape[1] == 1
+
+
+def test_event_writer_crc_and_format(tmp_path):
+    """Records are valid TFRecord frames with masked CRC32C; scalars decode."""
+    import struct
+
+    from rectpu.utils.events import EventWriter, _masked_crc, crc32c
+
+    # crc32c known-answer tests (RFC 3720 vectors)
+    assert crc32c(b"") == 0x0
+    assert crc32c(b"123456789") == 0xE3069283
+
+    w = EventWriter(tmp_path)
+    w.add_scalar("loss", 0.5, step=10)
+    w.add_scalars({"a": 1.0, "b": 2.0}, step=11)
+    w.add_histogram("h", np.random.default_rng(0).normal(size=100), step=12)
+    w.close()
+
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert len(files) == 1
+    data = files[0].read_bytes()
+    # walk the TFRecord framing, verifying every CRC
+    off = 0
+    events = []
+    while off < len(data):
+        (length,) = struct.unpack("<Q", data[off : off + 8])
+        (len_crc,) = struct.unpack("<I", data[off + 8 : off + 12])
+        assert len_crc == _masked_crc(data[off : off + 8])
+        payload = data[off + 12 : off + 12 + length]
+        (data_crc,) = struct.unpack("<I", data[off + 12 + length : off + 16 + length])
+        assert data_crc == _masked_crc(payload)
+        events.append(payload)
+        off += 16 + length
+    assert len(events) == 4  # file_version + 3 summaries
+    # first event carries the brain.Event:2 version marker
+    assert b"brain.Event:2" in events[0]
+    assert b"loss" in events[1]
+
+
+def test_profiling_step_timer():
+    from rectpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    t.update(10, 320)
+    rates = t.rates()
+    assert rates["examples_per_sec"] > 0
+    assert rates["steps_per_sec"] > 0
