@@ -166,7 +166,11 @@ def lookup_fields(table, batch, cfg: TowerConfig, lookup_fn=None):
     if lookup_fn is not None:
         emb = lookup_fn(table, batch["cat_ids"])
     else:
-        emb = embedding_lookup(table, batch["cat_ids"], impl=cfg.embedding_impl)
+        fs = cfg.feature_set
+        field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+        emb = embedding_lookup(
+            table, batch["cat_ids"], impl=cfg.embedding_impl, field_info=field_info
+        )
     dtype = cfg.jnp_compute_dtype
     return emb.astype(dtype) if dtype is not None else emb
 

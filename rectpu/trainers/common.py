@@ -41,7 +41,7 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                         help="device steps per host-loop iteration (default: %(default)s)")
     parser.add_argument("--seed", type=int, default=42, help="PRNG seed")
     parser.add_argument("--embedding-impl", default="auto",
-                        choices=["auto", "take", "onehot", "pallas"],
+                        choices=["auto", "take", "onehot", "pallas", "split"],
                         help="embedding lookup kernel (default: %(default)s)")
     parser.add_argument("--fm-impl", default="auto", choices=["auto", "xla", "pallas"],
                         help="FM-cross kernel (default: %(default)s)")
