@@ -113,6 +113,11 @@ class TowerConfig:
     fm_impl: str = "auto"  # rectpu.ops.fm implementation
     compute_dtype: str | None = None  # e.g. "bfloat16" for MXU-friendly towers
     table_padding: int = 128  # pad table rows to a lane multiple (tiling + EP sharding)
+    # Gather the linear tower's per-bucket weight as an extra column of the
+    # embedding gather (one gather feeds linear+FM+DNN). A [V]-weight gather
+    # alone moves a full 128-lane tile per 4-byte row — measured 3.2 ms of an
+    # 11 ms DeepFM step on v5e at the scaled config; fusing removes it.
+    fuse_linear_lookup: bool = True
 
     @property
     def num_fields(self) -> int:

@@ -78,11 +78,27 @@ class DeepFMModel:
         cfg = self.cfg
         logits = jnp.zeros((batch["cat_ids"].shape[0],), dtype=jnp.float32)
 
-        if self.use_linear:
+        fuse = (
+            cfg.fuse_linear_lookup and self.use_linear and (self.use_mf or self.use_dnn)
+        )
+        if self.use_linear and not fuse:
             logits = logits + apply_linear_tower(params["linear"], batch)
 
         if self.use_mf or self.use_dnn:
-            emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
+            if fuse:
+                # one gather serves all towers: [V, K+1] = [emb | linear w]
+                aug = jnp.concatenate(
+                    [params["emb"], params["linear"]["w"][:, None]], axis=1
+                )
+                looked = lookup_fields(aug, batch, cfg, lookup_fn)  # [B, F, K+1]
+                emb = looked[..., : cfg.embedding_size]
+                lin = looked[..., cfg.embedding_size].astype(jnp.float32)
+                logits = logits + lin.sum(axis=-1) + params["linear"]["b"]
+                tower = params["linear"]
+                if "w_num" in tower and batch.get("num_vals") is not None:
+                    logits = logits + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
+            else:
+                emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
             if cfg.num_numeric:
                 num = numeric_field_embeddings(params["num_emb"], batch, cfg)
                 emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)  # [B, F+N, K]

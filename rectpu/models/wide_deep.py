@@ -28,8 +28,33 @@ class WideDeepModel:
         return params
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
-        wide = apply_linear_tower(params["linear"], batch)
-        deep = self._dnn.apply(params, batch, train=train, rng=rng, lookup_fn=lookup_fn)
+        import jax.numpy as jnp
+
+        from rectpu.models.base import apply_mlp, lookup_fields, numeric_field_embeddings
+
+        cfg = self.cfg
+        if not cfg.fuse_linear_lookup:
+            wide = apply_linear_tower(params["linear"], batch)
+            deep = self._dnn.apply(params, batch, train=train, rng=rng, lookup_fn=lookup_fn)
+            return wide + deep
+
+        # fused gather: [V, K+1] = [emb | linear w] (see TowerConfig.fuse_linear_lookup)
+        aug = jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
+        looked = lookup_fields(aug, batch, cfg, lookup_fn)  # [B, F, K+1]
+        emb = looked[..., : cfg.embedding_size]
+        wide = looked[..., cfg.embedding_size].astype(jnp.float32).sum(axis=-1)
+        wide = wide + params["linear"]["b"]
+        tower = params["linear"]
+        if "w_num" in tower and batch.get("num_vals") is not None:
+            wide = wide + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
+        if cfg.num_numeric:
+            num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+            emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
+        flat = emb.reshape(emb.shape[0], -1)
+        deep = apply_mlp(
+            params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
+            compute_dtype=cfg.jnp_compute_dtype,
+        )[:, 0]
         return wide + deep
 
     def default_optimizer(self):

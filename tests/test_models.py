@@ -156,3 +156,36 @@ def test_models_jit_and_grad(cfg, batch):
         flat = jax.tree.leaves(g)
         assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
         assert any(np.any(np.asarray(x) != 0) for x in flat), cls.__name__
+
+
+def test_fused_linear_lookup_parity(cfg, batch):
+    """fuse_linear_lookup=True must reproduce the unfused logits exactly
+    (fp32, take impl) for DeepFM and WideDeep."""
+    import dataclasses
+
+    for cls in [DeepFMModel, WideDeepModel]:
+        cfg_fused = dataclasses.replace(cfg, fuse_linear_lookup=True)
+        cfg_plain = dataclasses.replace(cfg, fuse_linear_lookup=False)
+        m_fused, m_plain = cls(cfg_fused), cls(cfg_plain)
+        params = m_fused.init(jax.random.PRNGKey(0))
+        params["linear"]["w"] = jnp.asarray(
+            np.random.default_rng(9).normal(scale=0.1, size=params["linear"]["w"].shape
+                                            ).astype(np.float32)
+        )
+        out_f = np.asarray(m_fused.apply(params, batch))
+        out_p = np.asarray(m_plain.apply(params, batch))
+        np.testing.assert_allclose(out_f, out_p, rtol=1e-5, atol=1e-6)
+
+        # gradients agree too
+        def loss(m):
+            return jax.grad(
+                lambda p: jnp.sum(jnp.sin(m.apply(p, batch)))
+            )(params)
+
+        g_f, g_p = loss(m_fused), loss(m_plain)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            g_f, g_p,
+        )
