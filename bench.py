@@ -219,6 +219,18 @@ def bench_kernels() -> dict:
     return results
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: first-compile of the scanned train step
+    is minutes over the remote-compile tunnel; subsequent runs are seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
@@ -230,6 +242,7 @@ def main():
     if args.quick:
         args.steps = 60
 
+    _enable_compile_cache()
     import jax
 
     backend = jax.default_backend()
