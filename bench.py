@@ -231,11 +231,70 @@ def _enable_compile_cache():
         pass
 
 
+def bench_parity_config(steps: int = 2000) -> dict:
+    """Reference-default config (batch 32, K=4, hidden [16,16], dropout 0.1 —
+    /root/reference/trainers/deep_fm.py:197-206) training throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.metrics import sigmoid_xent
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16), dropout=0.1)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = model.default_optimizer()
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(1)
+    batch = 32
+
+    def one_step(carry, b):
+        params, opt_state, step = carry
+        step_rng = jax.random.fold_in(rng, step)
+
+        def loss_fn(p):
+            logits = model.apply(p, b, train=True, rng=step_rng)
+            return sigmoid_xent(logits, b["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return (params, opt_state, step + 1), loss
+
+    @jax.jit
+    def chunk(params, opt_state, step, batches):
+        (params, opt_state, step), losses = jax.lax.scan(
+            one_step, (params, opt_state, step), batches
+        )
+        return params, opt_state, step, losses
+
+    k = 500
+    sb = random_superbatch(fs, k, batch)
+    sb = {kk: jax.device_put(v) for kk, v in sb.items()}
+    step = jnp.zeros((), jnp.int32)
+    t0 = time.time()
+    params, opt_state, step, losses = chunk(params, opt_state, step, sb)
+    jax.block_until_ready(losses)
+    log(f"parity: compile+warmup {time.time()-t0:.1f}s")
+    n_chunks = max(steps // k, 2)
+    t0 = time.time()
+    for _ in range(n_chunks):
+        params, opt_state, step, losses = chunk(params, opt_state, step, sb)
+    jax.block_until_ready(losses)
+    dt = time.time() - t0
+    eps = n_chunks * k * batch / dt
+    log(f"parity config: {n_chunks*k} steps x batch {batch} in {dt:.2f}s -> {eps:,.0f} examples/s")
+    return {"examples_per_sec": eps}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--kernels", action="store_true", help="also run kernel micro-benchmarks")
+    ap.add_argument("--parity", action="store_true",
+                    help="also measure the reference-default (batch 32) config")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -254,6 +313,9 @@ def main():
     extra = {}
     if args.kernels:
         extra = bench_kernels()
+    parity = None
+    if args.parity:
+        parity = bench_parity_config(500 if args.quick else 2000)
 
     result = {
         "metric": "deepfm_train_examples_per_sec_per_chip",
@@ -276,6 +338,9 @@ def main():
     }
     if extra:
         result["kernels_ms"] = {k: round(v, 3) for k, v in extra.items()}
+    if parity:
+        result["parity_config_examples_per_sec"] = round(parity["examples_per_sec"], 1)
+        result["parity_vs_baseline"] = round(parity["examples_per_sec"] / cpu_eps, 2)
     print(json.dumps(result), flush=True)
 
 
