@@ -86,33 +86,52 @@ class DeepFMModel:
 
         if self.use_mf or self.use_dnn:
             if fuse:
-                # one gather serves all towers: [V, K+1] = [emb | linear w]
-                aug = jnp.concatenate(
-                    [params["emb"], params["linear"]["w"][:, None]], axis=1
-                )
-                looked = lookup_fields(aug, batch, cfg, lookup_fn)  # [B, F, K+1]
-                emb = looked[..., : cfg.embedding_size]
-                lin = looked[..., cfg.embedding_size].astype(jnp.float32)
-                logits = logits + lin.sum(axis=-1) + params["linear"]["b"]
-                tower = params["linear"]
-                if "w_num" in tower and batch.get("num_vals") is not None:
-                    logits = logits + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
+                looked = lookup_fields(self.augmented_table(params), batch, cfg, lookup_fn)
             else:
-                emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
-            if cfg.num_numeric:
-                num = numeric_field_embeddings(params["num_emb"], batch, cfg)
-                emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)  # [B, F+N, K]
+                looked = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
+            logits = logits + self.apply_looked(params, looked, batch, train=train, rng=rng)
 
-            if self.use_mf:
-                logits = logits + fm_cross(emb, impl=cfg.fm_impl).astype(jnp.float32)
+        return logits
 
-            if self.use_dnn:
-                flat = emb.reshape(emb.shape[0], -1)
-                dnn_logit = apply_mlp(
-                    params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
-                    compute_dtype=cfg.jnp_compute_dtype,
-                )
-                logits = logits + dnn_logit[:, 0]
+    def augmented_table(self, params):
+        """[V, K+1] = [embedding | linear weight] — one gather feeds all towers."""
+        return jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
+
+    def apply_looked(self, params, looked, batch, train: bool = False, rng=None):
+        """Tower math from pre-gathered rows.
+
+        ``looked`` is [B, F, K+1] when the linear tower is fused
+        (last column = linear weights), else [B, F, K]. Shared by ``apply``
+        and the sparse-update fast step (rectpu/train/fast_step.py), so the
+        model math lives in exactly one place.
+        """
+        cfg = self.cfg
+        fused = self.use_linear and cfg.fuse_linear_lookup
+        logits = jnp.zeros((looked.shape[0],), dtype=jnp.float32)
+        if fused:
+            emb = looked[..., : cfg.embedding_size]
+            lin = looked[..., cfg.embedding_size].astype(jnp.float32)
+            logits = logits + lin.sum(axis=-1) + params["linear"]["b"]
+            tower = params["linear"]
+            if "w_num" in tower and batch.get("num_vals") is not None:
+                logits = logits + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
+        else:
+            emb = looked
+
+        if cfg.num_numeric:
+            num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+            emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)  # [B, F+N, K]
+
+        if self.use_mf:
+            logits = logits + fm_cross(emb, impl=cfg.fm_impl).astype(jnp.float32)
+
+        if self.use_dnn:
+            flat = emb.reshape(emb.shape[0], -1)
+            dnn_logit = apply_mlp(
+                params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
+                compute_dtype=cfg.jnp_compute_dtype,
+            )
+            logits = logits + dnn_logit[:, 0]
 
         return logits
 

@@ -1,0 +1,153 @@
+"""High-throughput DeepFM training step with sparse table updates.
+
+The generic Trainer step differentiates through the embedding gather, so the
+table gradient materializes as a full dense [V, K] (zeros + scatter-add) and
+the optimizer sweeps every row — ~2 ms of a 7.5 ms step at the scaled config
+for a table where a batch touches <8% of rows.
+
+MEASURED VERDICT (v5e, 310k-row table, batch 8192): the dense path WINS —
+random-row scatter/gather on TPU costs ~0.1-0.5 us/row, so six sparse
+state-row round-trips on ~25k touched rows exceed the ~2 ms the dense sweep
+costs. This module is therefore NOT the default; it is the correct tool when
+the table is large enough that a dense optimizer sweep dominates the step
+(crossover roughly V*K > ~100M elements, i.e. multi-GB tables where a dense
+sweep costs tens of ms). Tests pin its exact lazy-Adam semantics either way.
+
+This step restructures the computation:
+  1. gather the (fused linear+embedding) rows OUTSIDE the differentiated
+     function;
+  2. differentiate w.r.t. the GATHERED rows and the small dense params;
+  3. dedupe the batch ids (sort + segment-sum) and apply TF-style lazy Adam
+     to exactly the touched rows (rectpu/train/sparse.py);
+  4. dense Adam for the MLP/bias params (tiny).
+
+Semantics: identical to dense Adam on step 1 from zero state; thereafter it
+is lazy Adam — untouched rows keep stale m/v and receive no step, matching
+``tf.train.AdamOptimizer._apply_sparse`` (what the reference's estimators run
+for embedding variables). The model math is ``DeepFMModel.apply_looked`` — the
+same code path the generic step uses.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rectpu.ops.embedding import embedding_lookup
+from rectpu.train import metrics as metrics_lib
+from rectpu.train.sparse import adam_lr_t, dedupe_rows, sparse_adam_rows
+
+
+def make_sparse_deepfm_step(
+    model,
+    learning_rate: float = 0.001,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    epsilon: float = 1e-8,
+):
+    """Build (init_opt_state, step) for a DeepFM model with Adam.
+
+    Requires the fused-linear layout (cfg.fuse_linear_lookup and use_linear)
+    or no linear tower at all.
+    """
+    cfg = model.cfg
+    if model.use_linear and not cfg.fuse_linear_lookup:
+        raise ValueError("sparse fast step requires fuse_linear_lookup=True")
+    k = cfg.embedding_size
+    fs = cfg.feature_set
+    field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+
+    def split_params(params):
+        sparse = {"emb": params["emb"]}
+        rest = {kk: vv for kk, vv in params.items() if kk not in ("emb", "linear")}
+        if model.use_linear:
+            sparse["w"] = params["linear"]["w"]
+            rest["linear_rest"] = {
+                kk: vv for kk, vv in params["linear"].items() if kk != "w"
+            }
+        return sparse, rest
+
+    def join_params(sparse, rest):
+        params = {kk: vv for kk, vv in rest.items() if kk != "linear_rest"}
+        params["emb"] = sparse["emb"]
+        if model.use_linear:
+            params["linear"] = dict(rest["linear_rest"])
+            params["linear"]["w"] = sparse["w"]
+        return params
+
+    def init_opt_state(params):
+        sparse, rest = split_params(params)
+        zeros = jax.tree.map(jnp.zeros_like, {"sparse": sparse, "rest": rest})
+        return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, {"sparse": sparse, "rest": rest}),
+                "t": jnp.zeros((), jnp.int32)}
+
+    def step(params, opt_state, batch, rng, step_idx):
+        sparse, rest = split_params(params)
+        ids = batch["cat_ids"]
+        dtype = cfg.jnp_compute_dtype
+
+        if model.use_linear:
+            table = jnp.concatenate([sparse["emb"], sparse["w"][:, None]], axis=1)
+        else:
+            table = sparse["emb"]
+        looked = embedding_lookup(table, ids, impl=cfg.embedding_impl, field_info=field_info)
+
+        step_rng = jax.random.fold_in(rng, step_idx)
+
+        def loss_fn(rest_p, looked_p):
+            # emb/w enter only through `looked`; placeholders keep the tree shape
+            model_params = join_params({"emb": None, "w": None}, rest_p)
+            lp = looked_p.astype(dtype) if dtype is not None else looked_p
+            logits = model.apply_looked(model_params, lp, batch, train=True, rng=step_rng)
+            losses = metrics_lib.sigmoid_xent(logits, batch["labels"])
+            if "weights" in batch:
+                w = batch["weights"]
+                return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return losses.mean()
+
+        (loss, (drest, dlooked)) = jax.value_and_grad(loss_fn, argnums=(0, 1))(rest, looked)
+
+        t = opt_state["t"] + 1
+        lr_t = adam_lr_t(learning_rate, t, beta1, beta2)
+
+        # dense Adam on the small params
+        m_rest = jax.tree.map(
+            lambda m_, g: beta1 * m_ + (1 - beta1) * g, opt_state["m"]["rest"], drest
+        )
+        v_rest = jax.tree.map(
+            lambda v_, g: beta2 * v_ + (1 - beta2) * g * g, opt_state["v"]["rest"], drest
+        )
+        rest = jax.tree.map(
+            lambda p, m_, v_: p - lr_t * m_ / (jnp.sqrt(v_) + epsilon), rest, m_rest, v_rest
+        )
+
+        # lazy Adam on exactly the touched table rows
+        v_rows = table.shape[0]
+        cols = dlooked.shape[-1]
+        rows, row_grads = dedupe_rows(
+            ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32), v_rows
+        )
+        m_sp, v_sp = opt_state["m"]["sparse"], opt_state["v"]["sparse"]
+        emb_new, m_emb, v_emb = sparse_adam_rows(
+            sparse["emb"], m_sp["emb"], v_sp["emb"], rows, row_grads[:, :k],
+            lr_t, beta1, beta2, epsilon,
+        )
+        new_sparse = {"emb": emb_new}
+        m_sp_new, v_sp_new = {"emb": m_emb}, {"emb": v_emb}
+        if model.use_linear:
+            w_new, m_w, v_w = sparse_adam_rows(
+                sparse["w"], m_sp["w"], v_sp["w"], rows, row_grads[:, k],
+                lr_t, beta1, beta2, epsilon,
+            )
+            new_sparse["w"] = w_new
+            m_sp_new["w"], v_sp_new["w"] = m_w, v_w
+
+        params = join_params(new_sparse, rest)
+        opt_state = {
+            "m": {"sparse": m_sp_new, "rest": m_rest},
+            "v": {"sparse": v_sp_new, "rest": v_rest},
+            "t": t,
+        }
+        return params, opt_state, loss
+
+    return init_opt_state, step

@@ -1,0 +1,83 @@
+"""Sparse (lazy) row updates for embedding tables.
+
+TF's sparse optimizer kernels (`_apply_sparse`, used by every canned estimator
+for embedding variables — SURVEY.md §2b optimizer row) update only the rows a
+batch touched. Our dense path instead materializes a full [V, K] gradient
+(zeros + scatter-add) and runs Adam over every row — measured ~2 ms of a
+7.5 ms DeepFM step at the scaled config, for a table where a batch touches
+<8% of rows. This module provides the sparse path:
+
+  - ``dedupe_rows``: sort + segment-sum duplicate ids into per-unique-row
+    gradients, static shapes throughout (padding rows get an out-of-range id
+    and are dropped by the scatters).
+  - ``sparse_adam_rows``: TF-style lazy Adam on exactly those rows (untouched
+    rows keep stale m/v and receive no step — identical to
+    ``tf.train.AdamOptimizer._apply_sparse`` semantics).
+
+The fast DeepFM training step (rectpu/train/fast_step.py) wires these in by
+differentiating w.r.t. the GATHERED rows instead of the table.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dedupe_rows(ids: jax.Array, grads: jax.Array, num_rows: int):
+    """Sum gradients of duplicate ids.
+
+    Args:
+        ids: [R] int32 row ids (duplicates allowed).
+        grads: [R, K] per-lookup gradients.
+        num_rows: table row count V (used for the drop sentinel).
+
+    Returns:
+        (rows [R], row_grads [R, K]): rows[i] is the i-th unique id in sorted
+        order for i < U (number of uniques), and ``num_rows`` (out of range,
+        dropped by `.at[].set(mode='drop')`) for i >= U; row_grads[i] is the
+        summed gradient of that unique id.
+    """
+    r = ids.shape[0]
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    seg = jnp.cumsum(new_run) - 1  # [R] in [0, U)
+    row_grads = jax.ops.segment_sum(grads[order], seg, num_segments=r)
+    rows = jnp.full((r,), num_rows, dtype=ids.dtype).at[seg].set(sorted_ids)
+    return rows, row_grads
+
+
+def sparse_adam_rows(
+    params: jax.Array,
+    m: jax.Array,
+    v: jax.Array,
+    rows: jax.Array,
+    row_grads: jax.Array,
+    lr_t: jax.Array,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    epsilon: float = 1e-8,
+):
+    """Lazy-Adam update of ``params[rows]`` (out-of-range rows dropped).
+
+    ``lr_t`` is the bias-corrected rate lr*sqrt(1-b2^t)/(1-b1^t) computed by
+    the caller from the shared step counter.
+    """
+    grads_dtype = params.dtype
+    row_grads = row_grads.astype(grads_dtype)
+    m_rows = m[rows] * beta1 + row_grads * (1 - beta1)
+    v_rows = v[rows] * beta2 + jnp.square(row_grads) * (1 - beta2)
+    p_rows = params[rows] - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
+    # duplicate sentinel rows all carry identical content; 'drop' discards OOB
+    m = m.at[rows].set(m_rows, mode="drop")
+    v = v.at[rows].set(v_rows, mode="drop")
+    params = params.at[rows].set(p_rows, mode="drop")
+    return params, m, v
+
+
+def adam_lr_t(learning_rate: float, t: jax.Array, beta1: float = 0.9, beta2: float = 0.999):
+    tf_ = t.astype(jnp.float32)
+    return learning_rate * jnp.sqrt(1.0 - beta2**tf_) / (1.0 - beta1**tf_)

@@ -1,0 +1,132 @@
+"""Sparse-update fast step: correctness vs dense Adam and a lazy-Adam oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectpu.features.schema import ml_100k_feature_set
+from rectpu.models import DeepFMModel, TowerConfig
+from rectpu.train.fast_step import make_sparse_deepfm_step
+from rectpu.train.metrics import sigmoid_xent
+from rectpu.train.optimizers import adam
+from rectpu.train.sparse import adam_lr_t, dedupe_rows, sparse_adam_rows
+
+
+def test_dedupe_rows_sums_duplicates():
+    ids = jnp.asarray([5, 3, 5, 7, 3, 3], jnp.int32)
+    grads = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    rows, row_grads = dedupe_rows(ids, grads, num_rows=10)
+    rows_np, rg = np.asarray(rows), np.asarray(row_grads)
+    # unique rows in sorted order, padding = num_rows (dropped sentinel)
+    assert list(rows_np[:3]) == [3, 5, 7]
+    assert (rows_np[3:] == 10).all()
+    np.testing.assert_allclose(rg[0], grads[1] + grads[4] + grads[5])  # id 3
+    np.testing.assert_allclose(rg[1], grads[0] + grads[2])  # id 5
+    np.testing.assert_allclose(rg[2], grads[3])  # id 7
+    np.testing.assert_allclose(rg[3:], 0.0)
+
+
+def test_sparse_adam_rows_matches_dense_on_touched():
+    rng = np.random.default_rng(0)
+    v, k = 50, 4
+    p = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    m = jnp.zeros((v, k))
+    vv = jnp.zeros((v, k))
+    ids = jnp.asarray([3, 7, 3, 20], jnp.int32)
+    g_rows = jnp.asarray(rng.normal(size=(4, k)).astype(np.float32))
+    # dense reference: scatter grads then dense Adam step 1
+    dense_g = np.zeros((v, k), np.float32)
+    for i, r in enumerate(np.asarray(ids)):
+        dense_g[r] += np.asarray(g_rows)[i]
+    opt = adam(0.01)
+    state = opt.init({"p": p})
+    p_dense, _ = opt.update({"p": jnp.asarray(dense_g)}, state, {"p": p})
+
+    rows, rg = dedupe_rows(ids, g_rows, v)
+    lr_t = adam_lr_t(0.01, jnp.asarray(1))
+    p_sparse, m2, v2 = sparse_adam_rows(p, m, vv, rows, rg, lr_t)
+    np.testing.assert_allclose(np.asarray(p_sparse), np.asarray(p_dense["p"]), rtol=1e-6)
+    # untouched rows keep zero m/v
+    assert float(jnp.abs(m2[0]).sum()) == 0.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16))
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    b = 64
+    offs, sizes = fs.offsets, fs.field_sizes
+    batches = []
+    for i in range(3):
+        r = np.random.default_rng(10 + i)
+        batches.append({
+            "cat_ids": jnp.asarray(np.stack(
+                [offs[f] + r.integers(0, sizes[f], size=b) for f in range(fs.num_fields)], 1
+            ).astype(np.int32)),
+            "num_vals": jnp.zeros((b, 0), jnp.float32),
+            "labels": jnp.asarray((r.random(b) < 0.3).astype(np.float32)),
+        })
+    return model, params, batches
+
+
+def test_fast_step_first_step_matches_dense(setup):
+    """From zero optimizer state, step 1 of lazy Adam == dense Adam exactly."""
+    model, params, batches = setup
+    batch = batches[0]
+    rng = jax.random.PRNGKey(3)
+
+    # dense step
+    opt = adam(0.001)
+    state = opt.init(params)
+
+    def loss_fn(p):
+        return sigmoid_xent(model.apply(p, batch, train=False), batch["labels"]).mean()
+
+    loss_d, grads = jax.value_and_grad(loss_fn)(params)
+    p_dense, _ = opt.update(grads, state, params)
+
+    # sparse fast step (dropout off: train=True but cfg.dropout == 0)
+    init_opt, step = make_sparse_deepfm_step(model, learning_rate=0.001)
+    opt_state = init_opt(params)
+    p_sparse, opt_state, loss_s = jax.jit(step)(params, opt_state, batch, rng, jnp.asarray(0))
+
+    assert np.isclose(float(loss_d), float(loss_s), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        jax.device_get(p_dense), jax.device_get(p_sparse),
+    )
+
+
+def test_fast_step_multi_step_lazy_oracle(setup):
+    """Multi-step: table rows follow lazy Adam (stale m/v on untouched rows)."""
+    model, params, batches = setup
+    rng = jax.random.PRNGKey(3)
+    init_opt, step = make_sparse_deepfm_step(model, learning_rate=0.001)
+    opt_state = init_opt(params)
+    jstep = jax.jit(step)
+
+    # oracle: numpy lazy Adam on the emb table driven by per-step dense grads
+    emb = np.asarray(params["emb"]).copy()
+    m = np.zeros_like(emb)
+    v = np.zeros_like(emb)
+    p_cur = params
+    for t, batch in enumerate(batches, start=1):
+        def loss_fn(p):
+            return sigmoid_xent(model.apply(p, batch, train=False), batch["labels"]).mean()
+
+        g = np.asarray(jax.grad(loss_fn)(p_cur)["emb"])
+        touched = np.unique(np.asarray(batch["cat_ids"]).ravel())
+        lr_t = 0.001 * np.sqrt(1 - 0.999**t) / (1 - 0.9**t)
+        m[touched] = 0.9 * m[touched] + 0.1 * g[touched]
+        v[touched] = 0.999 * v[touched] + 0.001 * g[touched] ** 2
+        emb[touched] -= lr_t * m[touched] / (np.sqrt(v[touched]) + 1e-8)
+
+        p_cur, opt_state, _ = jstep(p_cur, opt_state, batch, rng, jnp.asarray(t - 1))
+
+    np.testing.assert_allclose(np.asarray(p_cur["emb"]), emb, rtol=2e-4, atol=1e-6)

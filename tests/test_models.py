@@ -185,7 +185,7 @@ def test_fused_linear_lookup_parity(cfg, batch):
         g_f, g_p = loss(m_fused), loss(m_plain)
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             ),
             g_f, g_p,
         )
