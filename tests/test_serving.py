@@ -140,3 +140,43 @@ def test_profiling_step_timer():
     rates = t.rates()
     assert rates["examples_per_sec"] > 0
     assert rates["steps_per_sec"] > 0
+
+
+def test_event_file_readable_by_tensorboard(tmp_path):
+    """The self-built writer's output loads through TensorBoard's own reader."""
+    pytest.importorskip("tensorboard")
+    from tensorboard.backend.event_processing.event_file_loader import EventFileLoader
+
+    from rectpu.utils.events import EventWriter
+
+    w = EventWriter(tmp_path)
+    w.add_scalar("train/loss", 0.125, step=7)
+    w.add_histogram("act", np.linspace(-1, 1, 50), step=7)
+    w.close()
+    f = next(tmp_path.glob("events.out.tfevents.*"))
+    events = list(EventFileLoader(str(f)).Load())
+    assert events[0].file_version == "brain.Event:2"
+    scalar_events = [e for e in events if e.summary.value and e.summary.value[0].tag == "train/loss"]
+    assert len(scalar_events) == 1
+    assert scalar_events[0].step == 7
+    sv = scalar_events[0].summary.value[0]
+    # TB's loader migrates simple_value summaries to tensor form; accept both
+    got = sv.simple_value if sv.HasField("simple_value") else sv.tensor.float_val[0]
+    assert abs(got - 0.125) < 1e-9
+    histo_events = [e for e in events if e.summary.value and e.summary.value[0].tag == "act"]
+    hv = histo_events[0].summary.value[0]
+    if hv.HasField("histo"):
+        h = hv.histo
+        assert h.num == 50 and abs(h.min + 1) < 1e-9 and abs(h.max - 1) < 1e-9
+        assert len(h.bucket) == len(h.bucket_limit)
+        assert abs(sum(h.bucket) - 50) < 1e-9
+    else:  # migrated to tensor [[left, right, count] ...]
+        tensor = hv.tensor
+        if tensor.tensor_content:
+            vals = np.frombuffer(tensor.tensor_content, dtype=np.float64)
+        elif tensor.double_val:
+            vals = np.array(tensor.double_val)
+        else:
+            vals = np.array(tensor.float_val)
+        counts = vals.reshape(-1, 3)[:, 2]
+        assert abs(counts.sum() - 50) < 1e-9
