@@ -173,7 +173,8 @@ def test_event_file_readable_by_tensorboard(tmp_path):
     else:  # migrated to tensor [[left, right, count] ...]
         tensor = hv.tensor
         if tensor.tensor_content:
-            vals = np.frombuffer(tensor.tensor_content, dtype=np.float64)
+            dt = np.float32 if tensor.dtype == 1 else np.float64  # 1 == DT_FLOAT
+            vals = np.frombuffer(tensor.tensor_content, dtype=dt)
         elif tensor.double_val:
             vals = np.array(tensor.double_val)
         else:
