@@ -82,6 +82,7 @@ class Trainer:
             except Exception:  # pragma: no cover
                 event_writer = None
         self.events = event_writer
+        self.profile_dir: str | None = None  # set to capture a trace of one host loop
         self._build_steps()
 
     # -- step functions --------------------------------------------------------
@@ -175,6 +176,11 @@ class Trainer:
                 if meta.get("data_state"):
                     data_state = DataState(**meta["data_state"])
                 logger.info("restored checkpoint at step %s", step)
+            if jax.process_count() > 1:
+                # every host must finish (or skip) restore before any host trains
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("rectpu_restore")
 
         if self.plan is not None:
             params = self.plan.shard_params(params)
@@ -196,12 +202,23 @@ class Trainer:
                 },
             )
 
+        profiling = False
         while step < cfg.train_steps:
             k = min(cfg.steps_per_loop, cfg.train_steps - step)
             stacked, data_state = self._stack_batches(batch_iter, k)
+            if self.profile_dir and not profiling and step > 0:
+                # trace the SECOND loop so compilation isn't in the capture
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
             params, opt_state, step_dev, losses = self._train_chunk(
                 params, opt_state, rng, jnp.asarray(step, jnp.int32), stacked
             )
+            if profiling:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
+                logger.info("profile trace written to %s", self.profile_dir)
+                self.profile_dir = None
+                profiling = False
             step += k
             examples_acc += k * cfg.batch_size
 

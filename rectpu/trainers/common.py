@@ -51,6 +51,12 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                         help="data-parallel mesh size (1 = single device)")
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="embedding (EP) mesh size (1 = unsharded tables)")
+    parser.add_argument("--autotune", action="store_true",
+                        help="benchmark kernel impls at the working shapes and pin winners")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler device trace of the first host loop here")
+    parser.add_argument("--compilation-cache-dir", default="/tmp/jax_cache",
+                        help="persistent XLA compilation cache ('' disables)")
 
 
 def add_deep_args(parser: ArgumentParser) -> None:
@@ -67,6 +73,26 @@ def build_trainer(args, model, optimizer=None):
     from rectpu.io.loader import CsvDataset
     from rectpu.serve.export import make_exporter
     from rectpu.train.loop import TrainConfig, Trainer
+
+    if getattr(args, "compilation_cache_dir", None):
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir", args.compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+    if getattr(args, "autotune", False):
+        from rectpu.ops.autotune import autotune
+
+        cfg = model.cfg
+        autotune(
+            batch=args.batch_size,
+            num_fields=cfg.num_fields,
+            embedding_size=cfg.embedding_size,
+            vocab_rows=cfg.padded_buckets,
+        )
 
     if not args.restore:
         shutil.rmtree(args.job_dir, ignore_errors=True)
@@ -97,9 +123,11 @@ def build_trainer(args, model, optimizer=None):
     )
     optimizer = optimizer or model.default_optimizer()
     exporter = make_exporter(model, args.job_dir)
-    return Trainer(
+    trainer = Trainer(
         model, optimizer, train_ds, eval_ds, args.job_dir, config, plan=plan, exporter=exporter
     )
+    trainer.profile_dir = getattr(args, "profile_dir", None)
+    return trainer
 
 
 def run(args, model, optimizer=None) -> dict:
