@@ -103,13 +103,35 @@ def latest_export(job_dir: str | Path) -> Path | None:
 
 
 class ServingModel:
-    """A restored model with a jitted predict function over raw features."""
+    """A restored model with a jitted predict function over raw features.
 
-    def __init__(self, model, params, feature_set: FeatureSet):
+    Requests are padded to power-of-two batch buckets so the jitted apply
+    compiles once per bucket instead of once per request size (a fresh XLA
+    compile per novel batch size would stall online serving).
+    """
+
+    def __init__(self, model, params, feature_set: FeatureSet, max_batch: int = 4096):
         self.model = model
         self.params = params
         self.feature_set = feature_set
+        self.max_batch = max_batch
         self._apply = jax.jit(lambda p, b: binary_predictions(model.apply(p, b, train=False)))
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, max(self.max_batch, n))
+
+    def warmup(self, sizes=(1,)) -> None:
+        """Pre-compile the predict fn for the buckets of the given sizes."""
+        for n in sizes:
+            b = self._bucket(n)
+            batch = {
+                "cat_ids": np.zeros((b, self.feature_set.num_fields), np.int32),
+                "num_vals": np.zeros((b, self.feature_set.num_numeric), np.float32),
+            }
+            jax.block_until_ready(self._apply(self.params, batch))
 
     def predict(self, features: dict) -> dict:
         """Predict from the reference serving schema (raw feature arrays).
@@ -138,8 +160,15 @@ class ServingModel:
         batch = {k: np.asarray(v) for k, v in batch.items()}
         if "num_vals" not in batch:
             batch["num_vals"] = np.zeros((n, 0), np.float32)
+        # pad to the bucket size; slice padding back off the outputs
+        b = self._bucket(n)
+        if b > n:
+            batch = {
+                k: np.concatenate([v, np.zeros((b - n,) + v.shape[1:], v.dtype)])
+                for k, v in batch.items()
+            }
         out = self._apply(self.params, batch)
-        return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        return {k: np.asarray(v)[:n] for k, v in jax.device_get(out).items()}
 
 
 def load_model(export_dir: str | Path) -> ServingModel:

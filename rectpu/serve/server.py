@@ -94,6 +94,9 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
             raise FileNotFoundError(f"no export under {job_dir}/export/exporter")
     served = load_model(export_dir)
     logger.info("serving %s (required features: %s)", export_dir, SERVING_REQUIRED)
+    logger.info("warming up predict compile...")
+    served.warmup(sizes=(1, 2, 8, 64, 512))
+    logger.info("warmup done")
     httpd = ThreadingHTTPServer((host, port), make_handler(served))
     logger.info("listening on http://%s:%d/predict", host, port)
     httpd.serve_forever()
