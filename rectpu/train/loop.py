@@ -122,12 +122,22 @@ class Trainer:
                 losses=losses, weights=batch.get("weights"),
             )
 
+        def eval_scan(params, mstate, batches):
+            def body(ms, batch):
+                return eval_step(params, ms, batch), None
+
+            mstate, _ = jax.lax.scan(body, mstate, batches)
+            return mstate
+
         if self.plan is not None:
             self._train_chunk = self.plan.jit_train_chunk(train_chunk)
             self._eval_step = self.plan.jit_eval_step(eval_step)
+            self._eval_scan = jax.jit(eval_scan, donate_argnums=(1,))
         else:
             self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
             self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
+            self._eval_scan = jax.jit(eval_scan, donate_argnums=(1,))
+        self._eval_cache = None  # device-resident stacked eval set
 
     # -- data staging ------------------------------------------------------------
 
@@ -145,15 +155,25 @@ class Trainer:
     # -- public API ---------------------------------------------------------------
 
     def evaluate(self, params) -> dict:
-        """One full pass over the eval set -> metric dict (floats)."""
+        """One full pass over the eval set -> metric dict (floats).
+
+        The padded eval batches are stacked and staged on device ONCE (cached
+        across evals) and consumed by a single scanned dispatch — the
+        60-second eval cadence costs one device call, not one per batch.
+        """
         eval_bs = self.config.eval_batch_size or max(self.config.batch_size, 512)
         mstate = metrics_lib.init_state()
         if self.plan is not None:
             mstate = self.plan.replicate_metric_state(mstate)
-        for batch in self.eval_ds.eval_batches(eval_bs):
+        if self._eval_cache is None:
+            batches = list(self.eval_ds.eval_batches(eval_bs))
+            stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
             if self.plan is not None:
-                batch = self.plan.shard_batch(batch)
-            mstate = self._eval_step(params, mstate, batch)
+                stacked = self.plan.shard_superbatch(stacked)
+            else:
+                stacked = {k: jax.device_put(v) for k, v in stacked.items()}
+            self._eval_cache = stacked
+        mstate = self._eval_scan(params, mstate, self._eval_cache)
         result = metrics_lib.finalize(jax.device_get(mstate))
         return {k: float(v) for k, v in result.items()}
 
