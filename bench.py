@@ -195,25 +195,37 @@ def bench_kernels() -> dict:
     b, f, k = 8192, 26, 64
     v = jnp.asarray(np.random.default_rng(0).normal(size=(b, f, k)).astype(np.float32))
 
-    def timeit(fn, *args, iters=50):
-        out = jax.block_until_ready(jax.jit(fn)(*args))
+    def timeit_chained(make_out, feedback, x0, iters=40):
+        """Dependency-chained timing: each iteration consumes the previous
+        output, so the device cannot overlap/elide repeated identical work
+        (plain pipelined loops mis-measure through the remote tunnel)."""
+        f_jit = jax.jit(lambda x: feedback(make_out(x), x))
+        x = jax.block_until_ready(f_jit(x0))
         t0 = time.time()
         for _ in range(iters):
-            out = jax.jit(fn)(*args)
-        jax.block_until_ready(out)
+            x = f_jit(x)
+        jax.block_until_ready(x)
         return (time.time() - t0) / iters
 
     for name, fn in [("fm_xla", fm_cross_xla), ("fm_pallas", fm_cross_pallas)]:
+        results[name + "_fwd_ms"] = 1e3 * timeit_chained(
+            fn, lambda out, x: x + out[:, None, None] * 1e-12, v
+        )
         grad_fn = jax.grad(lambda x: jnp.sum(fn(x)))
-        results[name + "_fwd_ms"] = timeit(fn, v) * 1e3
-        results[name + "_bwd_ms"] = timeit(grad_fn, v) * 1e3
+        results[name + "_bwd_ms"] = 1e3 * timeit_chained(
+            grad_fn, lambda out, x: x + out * 1e-12, v
+        )
 
     table = jnp.asarray(np.random.default_rng(1).normal(size=(4224, 64)).astype(np.float32))
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 4106, size=(8192, 26)).astype(np.int32))
     for name, fn in [("take", lookup_take), ("onehot", lookup_onehot), ("pallas", lookup_pallas)]:
+        results[f"lookup_{name}_fwd_ms"] = 1e3 * timeit_chained(
+            lambda t: fn(t, ids), lambda out, t: t + out.sum() * 1e-12, table
+        )
         grad_fn = jax.grad(lambda t: jnp.sum(fn(t, ids)))
-        results[f"lookup_{name}_fwd_ms"] = timeit(fn, table, ids) * 1e3
-        results[f"lookup_{name}_bwd_ms"] = timeit(grad_fn, table) * 1e3
+        results[f"lookup_{name}_bwd_ms"] = 1e3 * timeit_chained(
+            grad_fn, lambda out, t: t + out * 1e-12, table
+        )
     for k_, v_ in results.items():
         log(f"kernel {k_}: {v_:.3f} ms")
     return results

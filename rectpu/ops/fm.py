@@ -102,9 +102,26 @@ def _fm_pallas_vjp_bwd(tile_b, interpret, v, g):
 _fm_pallas.defvjp(_fm_pallas_vjp_fwd, _fm_pallas_vjp_bwd)
 
 
-def fm_cross_pallas(v: jax.Array, tile_b: int = 512, interpret: bool | None = None) -> jax.Array:
+def _auto_tile_b(f: int, k: int) -> int:
+    """Largest power-of-two batch tile whose working set fits VMEM.
+
+    Mosaic pads the K (lane) dim to 128 and stages ~4 copies of the block
+    (input, fp32 upcast, squares, broadcasts); budget ~6 MB of the 16 MB VMEM
+    for the [TB, F, K] block to leave room for pipelining.
+    """
+    k_padded = max(k, 128)
+    per_row = f * k_padded * 4 * 4
+    tb = 8
+    while tb * 2 * per_row <= 6 * 1024 * 1024 and tb < 1024:
+        tb *= 2
+    return tb
+
+
+def fm_cross_pallas(v: jax.Array, tile_b: int | None = None, interpret: bool | None = None) -> jax.Array:
     if interpret is None:
         interpret = not _on_tpu()
+    if tile_b is None:
+        tile_b = _auto_tile_b(v.shape[1], v.shape[2])
     return _fm_pallas(v, tile_b, interpret)
 
 
