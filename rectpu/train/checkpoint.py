@@ -62,11 +62,29 @@ def _rebuild(template, flat: dict, prefix: str = ""):
 
 
 class Checkpointer:
-    def __init__(self, job_dir: str | Path, keep: int = 5, prefix: str = "ckpt"):
+    """Atomic keep-N checkpointer with optional async writes.
+
+    With ``async_write=True`` the device->host transfer happens synchronously
+    (cheap) but serialization + disk IO run on a background thread, so the
+    training loop resumes immediately; the next save (or ``wait()``/restore)
+    joins the previous write first, preserving the keep-N invariants.
+    """
+
+    def __init__(self, job_dir: str | Path, keep: int = 5, prefix: str = "ckpt",
+                 async_write: bool = False):
         self.job_dir = Path(job_dir)
         self.keep = keep
         self.prefix = prefix
+        self.async_write = async_write
+        self._pending = None
+        self._executor = None
         self.job_dir.mkdir(parents=True, exist_ok=True)
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
 
     # -- paths ---------------------------------------------------------------
 
@@ -90,8 +108,26 @@ class Checkpointer:
     # -- save/restore ----------------------------------------------------------
 
     def save(self, step: int, tree: dict, extra_meta: dict | None = None) -> Path:
-        """Atomically write a checkpoint of ``tree`` (any pytree of arrays)."""
+        """Write a checkpoint of ``tree`` (any pytree of arrays).
+
+        Synchronous by default; with async_write the host copy is taken now
+        and the disk write completes in the background (see class docstring).
+        """
+        self.wait()
         tree = jax.device_get(tree)
+        if self.async_write:
+            import concurrent.futures
+
+            if self._executor is None:
+                self._executor = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="rectpu-ckpt"
+                )
+            final = self._ckpt_dir(step)
+            self._pending = self._executor.submit(self._write, step, tree, extra_meta)
+            return final
+        return self._write(step, tree, extra_meta)
+
+    def _write(self, step: int, tree: dict, extra_meta: dict | None) -> Path:
         final = self._ckpt_dir(step)
         tmp = self.job_dir / f".tmp-{self.prefix}-{step}-{time.time_ns()}"
         tmp.mkdir(parents=True)
@@ -117,6 +153,7 @@ class Checkpointer:
 
     def restore(self, step: int | None = None) -> tuple[dict, dict] | None:
         """Load (tree, meta) for ``step`` (default latest). None if absent."""
+        self.wait()
         if step is None:
             step = self.latest_step()
             if step is None:

@@ -50,6 +50,7 @@ class TrainConfig:
     steps_per_loop: int = 100
     seed: int = 42
     final_eval: bool = True
+    async_checkpoint: bool = True  # background disk writes (host copy is sync)
 
 
 class Trainer:
@@ -73,7 +74,10 @@ class Trainer:
         self.config = config
         self.plan = plan
         self.exporter = exporter
-        self.ckpt = Checkpointer(self.job_dir, keep=config.keep_checkpoint_max)
+        self.ckpt = Checkpointer(
+            self.job_dir, keep=config.keep_checkpoint_max,
+            async_write=config.async_checkpoint,
+        )
         if event_writer is None:
             try:
                 from rectpu.utils.events import EventWriter
@@ -283,6 +287,7 @@ class Trainer:
             self.exporter(params, step)
         if self.events:
             self.events.flush()
+        self.ckpt.wait()
         self._final_params = params
         return last_metrics
 

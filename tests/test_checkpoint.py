@@ -44,3 +44,32 @@ def test_restore_empty_dir(tmp_path):
     ckpt = Checkpointer(tmp_path)
     assert ckpt.restore() is None
     assert ckpt.latest_step() is None
+
+
+def test_async_save_and_restore(tmp_path):
+    ckpt = Checkpointer(tmp_path, keep=2, async_write=True)
+    for s in [1, 2, 3]:
+        ckpt.save(s, {"x": jnp.asarray(float(s)), "big": jnp.arange(10000.0)})
+    ckpt.wait()
+    assert ckpt.all_steps() == [2, 3]
+    restored, meta = ckpt.restore()
+    assert meta["step"] == 3 and float(restored["x"]) == 3.0
+
+    # restore() joins an in-flight save first
+    ckpt.save(4, {"x": jnp.asarray(4.0), "big": jnp.arange(10000.0)})
+    restored, meta = ckpt.restore()
+    assert meta["step"] == 4
+
+
+def test_async_mutation_after_save_is_safe(tmp_path):
+    """The host copy is snapshotted at save(); later donation/mutation of the
+    device arrays must not corrupt the checkpoint."""
+    import numpy as np
+
+    ckpt = Checkpointer(tmp_path, keep=2, async_write=True)
+    arr = jnp.arange(100.0)
+    ckpt.save(7, {"a": arr})
+    arr2 = jax.jit(lambda x: x * 0, donate_argnums=0)(arr)  # donates/invalidates arr
+    ckpt.wait()
+    restored, _ = ckpt.restore(7)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(100.0))
