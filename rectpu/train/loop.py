@@ -181,6 +181,26 @@ class Trainer:
         result = metrics_lib.finalize(jax.device_get(mstate))
         return {k: float(v) for k, v in result.items()}
 
+    def _log_histograms(self, params, step: int, max_elems: int = 65536) -> None:
+        """Per-parameter histograms + zero-fraction scalars (layer_summary
+        parity, ref trainers/model_utils.py:4-6); large leaves are sampled."""
+        if not self.events:
+            return
+        for path, leaf in jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]:
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            arr = np.asarray(leaf).ravel()
+            if arr.size == 0:
+                continue
+            if arr.size > max_elems:
+                arr = arr[:: max(arr.size // max_elems, 1)]
+            self.events.add_histogram(f"params/{name}", arr, step)
+            self.events.add_scalar(
+                f"params/{name}/fraction_of_zero_values",
+                float((arr == 0).mean()), step,
+            )
+
     def train_and_evaluate(self, restore: bool = True) -> dict:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
@@ -274,6 +294,7 @@ class Trainer:
                     self.events.add_scalars(
                         {f"eval/{k}": v for k, v in last_metrics.items()}, step
                     )
+                self._log_histograms(params, step)
                 if self.exporter is not None:
                     self.exporter(params, step)
 
