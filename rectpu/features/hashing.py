@@ -162,8 +162,8 @@ def fingerprint64_bytes(s: bytes) -> int:
     w = ((w[0] + ((n - 1) & 63)) & _M, w[1])
     v = ((v[0] + w[0]) & _M, v[1])
     w = ((w[0] + v[0]) & _M, w[1])
-    x = (_rot((x + y + v[0] + _fetch64(s, i + 8)) & _M, 37) * K1) & _M
-    y = (_rot((y + v[1] + _fetch64(s, i + 48)) & _M, 42) * K1) & _M
+    x = (_rot((x + y + v[0] + _fetch64(s, i + 8)) & _M, 37) * mul) & _M
+    y = (_rot((y + v[1] + _fetch64(s, i + 48)) & _M, 42) * mul) & _M
     x ^= (w[1] * 9) & _M
     y = (y + v[0] * 9 + _fetch64(s, i + 40)) & _M
     z = (_rot((z + w[0]) & _M, 33) * mul) & _M

@@ -139,8 +139,8 @@ uint64_t Hash64Long(const char* s, size_t len) {
   w.first += ((len - 1) & 63);
   v.first += w.first;
   w.first += v.first;
-  x = Rotate(x + y + v.first + Fetch64(s + 8), 37) * k1;
-  y = Rotate(y + v.second + Fetch64(s + 48), 42) * k1;
+  x = Rotate(x + y + v.first + Fetch64(s + 8), 37) * mul;
+  y = Rotate(y + v.second + Fetch64(s + 48), 42) * mul;
   x ^= w.second * 9;
   y += v.first * 9 + Fetch64(s + 40);
   z = Rotate(z + w.first, 33) * mul;

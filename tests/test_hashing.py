@@ -13,6 +13,9 @@ from rectpu.features.hashing import fingerprint64, fingerprint64_bytes, hash_buc
 
 # self-goldens: (input, fingerprint64)
 GOLDENS_FILE = "tests/data/hash_goldens.txt"
+# goldens captured from TensorFlow's tf.strings.to_hash_bucket_fast (mod 2^63-1):
+# bit-exact Fingerprint64 parity with the reference's hash kernels
+TF_GOLDENS_FILE = "tests/data/hash_goldens_tf.txt"
 
 
 def test_fingerprint_deterministic():
@@ -64,6 +67,20 @@ def test_self_goldens_stable(tmp_path):
         golden_path.parent.mkdir(parents=True, exist_ok=True)
         golden_path.write_text("\n".join(lines) + "\n")
         pytest.skip("goldens written on first run")
+
+
+def test_tf_verified_goldens():
+    """Pinned values captured from tf.strings.to_hash_bucket_fast: our
+    fingerprint64 % (2^63-1) must reproduce TF's bucket ids exactly."""
+    import ast
+    import pathlib
+
+    lines = pathlib.Path(TF_GOLDENS_FILE).read_text().strip().splitlines()
+    assert len(lines) == 13
+    for line in lines:
+        s_repr, expected = line.rsplit(" ", 1)
+        s = ast.literal_eval(s_repr)
+        assert fingerprint64(s) % (2**63 - 1) == int(expected), s_repr
 
 
 def test_native_parity_if_built():
