@@ -87,6 +87,7 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
         dropout=0.1,
         compute_dtype="bfloat16",
         table_padding=128,
+        packed_linear=True,
     )
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))

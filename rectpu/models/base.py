@@ -118,6 +118,11 @@ class TowerConfig:
     # alone moves a full 128-lane tile per 4-byte row — measured 3.2 ms of an
     # 11 ms DeepFM step on v5e at the scaled config; fusing removes it.
     fuse_linear_lookup: bool = True
+    # Store the fused [V, K+1] table as ONE parameter instead of concatenating
+    # emb + linear.w every step (the concat+cast costs ~1 ms at the scaled
+    # config). Changes the param tree ("table" replaces "emb"+"linear.w"), so
+    # it is opt-in; only meaningful for single-optimizer models (DeepFM).
+    packed_linear: bool = False
 
     @property
     def num_fields(self) -> int:
@@ -174,7 +179,8 @@ def lookup_fields(table, batch, cfg: TowerConfig, lookup_fn=None):
         fs = cfg.feature_set
         field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
         emb = embedding_lookup(
-            table, batch["cat_ids"], impl=cfg.embedding_impl, field_info=field_info
+            table, batch["cat_ids"], impl=cfg.embedding_impl, field_info=field_info,
+            gather_dtype=cfg.jnp_compute_dtype,
         )
     dtype = cfg.jnp_compute_dtype
     return emb.astype(dtype) if dtype is not None else emb

@@ -52,6 +52,16 @@ class DeepFMModel:
         self.use_mf = use_mf
         self.use_dnn = use_dnn
 
+    @property
+    def packed(self) -> bool:
+        """Single [V, K+1] table parameter (emb columns + linear weight)."""
+        return (
+            self.cfg.packed_linear
+            and self.cfg.fuse_linear_lookup
+            and self.use_linear
+            and (self.use_mf or self.use_dnn)
+        )
+
     def init(self, rng) -> dict:
         cfg = self.cfg
         k_emb, k_mlp, k_num = jax.random.split(rng, 3)
@@ -59,7 +69,12 @@ class DeepFMModel:
         if self.use_linear:
             params["linear"] = init_linear_tower(cfg)
         if self.use_mf or self.use_dnn:
-            params["emb"] = init_embedding_table(k_emb, cfg)
+            if self.packed:
+                emb = init_embedding_table(k_emb, cfg)
+                w = params["linear"].pop("w")  # folded into the table's last column
+                params["table"] = jnp.concatenate([emb, w[:, None]], axis=1)
+            else:
+                params["emb"] = init_embedding_table(k_emb, cfg)
             if cfg.num_numeric:
                 # [1, N, K] numeric embedding vectors (ref deep_fm.py:63-65)
                 params["num_emb"] = truncated_normal(
@@ -94,7 +109,13 @@ class DeepFMModel:
         return logits
 
     def augmented_table(self, params):
-        """[V, K+1] = [embedding | linear weight] — one gather feeds all towers."""
+        """[V, K+1] = [embedding | linear weight] — one gather feeds all towers.
+
+        With packed_linear the fused table IS the parameter; otherwise it is
+        assembled per call (XLA fuses the concat, but it still costs a pass
+        over the table — see TowerConfig.packed_linear)."""
+        if self.packed:
+            return params["table"]
         return jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
 
     def apply_looked(self, params, looked, batch, train: bool = False, rng=None):

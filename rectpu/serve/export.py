@@ -71,6 +71,8 @@ def export_model(
                 "fm_impl": cfg.fm_impl,
                 "compute_dtype": cfg.compute_dtype,
                 "table_padding": cfg.table_padding,
+                "fuse_linear_lookup": cfg.fuse_linear_lookup,
+                "packed_linear": cfg.packed_linear,
             },
             "numeric_features": [f.name for f in cfg.feature_set.numeric],
             "model_kwargs": {
@@ -189,7 +191,9 @@ def load_model(export_dir: str | Path) -> ServingModel:
         embedding_impl=tc.get("embedding_impl", "auto"),
         fm_impl=tc.get("fm_impl", "auto"),
         compute_dtype=tc.get("compute_dtype"),
-        table_padding=tc.get("table_padding", 8),
+        table_padding=tc.get("table_padding", 128),
+        fuse_linear_lookup=tc.get("fuse_linear_lookup", True),
+        packed_linear=tc.get("packed_linear", False),
     )
     model_cls = MODEL_REGISTRY[meta["model"]]
     kwargs = meta.get("model_kwargs", {})

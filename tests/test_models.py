@@ -189,3 +189,52 @@ def test_fused_linear_lookup_parity(cfg, batch):
             ),
             g_f, g_p,
         )
+
+
+def test_packed_linear_parity(cfg, batch):
+    """packed_linear stores [emb | w] as one table; logits, grads and the
+    export round-trip must match the unpacked layout exactly."""
+    import dataclasses
+
+    cfg_packed = dataclasses.replace(cfg, packed_linear=True)
+    m_packed = DeepFMModel(cfg_packed)
+    m_plain = DeepFMModel(cfg)
+    p_plain = m_plain.init(jax.random.PRNGKey(4))
+    # build the packed params from the SAME values
+    p_packed = {
+        "table": jnp.concatenate([p_plain["emb"], p_plain["linear"]["w"][:, None]], 1),
+        "linear": {"b": p_plain["linear"]["b"]},
+        "mlp": p_plain["mlp"],
+    }
+    out_packed = np.asarray(m_packed.apply(p_packed, batch))
+    out_plain = np.asarray(m_plain.apply(p_plain, batch))
+    np.testing.assert_allclose(out_packed, out_plain, rtol=1e-5, atol=1e-6)
+
+    # init produces the packed structure directly
+    p_init = m_packed.init(jax.random.PRNGKey(0))
+    assert set(p_init.keys()) == {"table", "linear", "mlp"}
+    assert "w" not in p_init["linear"]
+    assert p_init["table"].shape == (cfg.padded_buckets, cfg.embedding_size + 1)
+    # linear column zero-init (TF linear_model semantics)
+    np.testing.assert_array_equal(np.asarray(p_init["table"][:, -1]), 0.0)
+
+    # gradient flows to the packed table
+    g = jax.grad(lambda p: jnp.sum(m_packed.apply(p, batch)))(p_packed)
+    assert np.any(np.asarray(g["table"]) != 0)
+
+    # export/load round-trip preserves the packed layout
+    import tempfile
+
+    from rectpu.serve.export import export_model, load_model
+
+    with tempfile.TemporaryDirectory() as td:
+        export_dir = export_model(p_packed, m_packed, td, step=1)
+        served = load_model(export_dir)
+        assert served.model.packed
+        req = {
+            "user_id": np.array([1]), "item_id": np.array([2]), "age": np.array([30]),
+            "gender": np.array(["F"]), "occupation": np.array(["o"]),
+            "zipcode": np.array(["1"]), "release_year": np.array([1990]),
+        }
+        out = served.predict(req)
+        assert out["probabilities"].shape == (1,)
