@@ -95,8 +95,10 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(1)
 
-    def one_step(carry, b):
-        params, opt_state, step = carry
+    # pipelined per-step dispatch (the Trainer's large-batch mode): K async
+    # dispatches over pre-staged distinct batches, block once at the end —
+    # lax.scan's carry copying costs ~0.5-1 ms/step on big param trees.
+    def train_one(params, opt_state, step, b):
         step_rng = jax.random.fold_in(rng, step)
 
         def loss_fn(p):
@@ -105,36 +107,33 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         params, opt_state = optimizer.update(grads, opt_state, params)
-        return (params, opt_state, step + 1), loss
+        return params, opt_state, loss
 
-    @jax.jit
-    def chunk(params, opt_state, step, batches):
-        (params, opt_state, step), losses = jax.lax.scan(
-            one_step, (params, opt_state, step), batches
-        )
-        return params, opt_state, step, losses
-
-    k = 20
-    sb = random_superbatch(fs, k, batch)
-    sb = {kk: jax.device_put(v) for kk, v in sb.items()}
-    step = jnp.zeros((), jnp.int32)
+    fj = jax.jit(train_one, donate_argnums=(0, 1))
+    n_stage = 8
+    sb = random_superbatch(fs, n_stage, batch)
+    staged = [
+        {kk: jax.device_put(v[i]) for kk, v in sb.items()} for i in range(n_stage)
+    ]
 
     # warmup + compile
     t0 = time.time()
-    params, opt_state, step, losses = chunk(params, opt_state, step, sb)
-    jax.block_until_ready(losses)
-    log(f"tpu: compile+warmup {time.time()-t0:.1f}s; loss[0]={float(losses[0]):.4f}")
+    params, opt_state, loss = fj(params, opt_state, jnp.asarray(0, jnp.int32), staged[0])
+    jax.block_until_ready(loss)
+    log(f"tpu: compile+warmup {time.time()-t0:.1f}s; loss[0]={float(loss):.4f}")
 
-    n_chunks = max(steps // k, 2)
+    n_steps = max(steps, 40)
     t0 = time.time()
-    for _ in range(n_chunks):
-        params, opt_state, step, losses = chunk(params, opt_state, step, sb)
-    jax.block_until_ready(losses)
+    for i in range(n_steps):
+        params, opt_state, loss = fj(
+            params, opt_state, jnp.asarray(i + 1, jnp.int32), staged[i % n_stage]
+        )
+    jax.block_until_ready(loss)
     dt = time.time() - t0
-    total = n_chunks * k * batch
+    total = n_steps * batch
     eps = total / dt
-    log(f"tpu: {n_chunks * k} steps x batch {batch} in {dt:.2f}s -> {eps:,.0f} examples/s")
-    return {"examples_per_sec": eps, "steps": n_chunks * k, "batch": batch, "seconds": dt}
+    log(f"tpu: {n_steps} steps x batch {batch} in {dt:.2f}s -> {eps:,.0f} examples/s")
+    return {"examples_per_sec": eps, "steps": n_steps, "batch": batch, "seconds": dt}
 
 
 def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:

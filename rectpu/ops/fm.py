@@ -35,6 +35,58 @@ def fm_cross_xla(v: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(sum_square - square_sum, axis=-1)
 
 
+def _field_sum_matrix(f: int, k: int, dtype) -> jax.Array:
+    """[F*K, K] stacked identities: (v.reshape(B, F*K) @ A)[b, k] = sum_f v[b,f,k]."""
+    return jnp.tile(jnp.eye(k, dtype=dtype), (f, 1))
+
+
+@jax.custom_vjp
+def fm_cross_matmul(v: jax.Array) -> jax.Array:
+    """FM identity with the field reduction as an MXU matmul.
+
+    XLA's reduction over the MIDDLE axis of [B, F, K] relayouts badly on TPU
+    (lane dim K gets padded, sublane strides fight the reducer). Flattening to
+    [B, F*K] keeps the natural lane-major layout, and sum_f becomes a matmul
+    against a [F*K, K] stack of identity matrices — tiny MXU work, two clean
+    passes over v. Backward uses the closed form dv = g * (S - v), with S
+    re-broadcast by the transpose matmul.
+    """
+    b, f, k = v.shape
+    v2 = v.reshape(b, f * k)
+    s = jnp.dot(v2, _field_sum_matrix(f, k, v.dtype), preferred_element_type=jnp.float32)
+    sum_square = jnp.sum(jnp.square(s), axis=-1)
+    square_sum = jnp.sum(
+        jnp.square(v2.astype(jnp.float32) if v2.dtype != jnp.float32 else v2), axis=-1
+    )
+    return (0.5 * (sum_square - square_sum)).astype(v.dtype)
+
+
+def _fm_matmul_fwd(v):
+    b, f, k = v.shape
+    v2 = v.reshape(b, f * k)
+    s = jnp.dot(v2, _field_sum_matrix(f, k, v.dtype), preferred_element_type=jnp.float32)
+    sum_square = jnp.sum(jnp.square(s), axis=-1)
+    square_sum = jnp.sum(
+        jnp.square(v2.astype(jnp.float32) if v2.dtype != jnp.float32 else v2), axis=-1
+    )
+    out = (0.5 * (sum_square - square_sum)).astype(v.dtype)
+    return out, (v, s.astype(v.dtype))
+
+
+def _fm_matmul_bwd(res, g):
+    v, s = res
+    b, f, k = v.shape
+    # dv[b,f,:] = g[b] * (S[b,:] - v[b,f,:]); broadcast S via the transpose tile
+    s_tiled = jnp.dot(
+        s, _field_sum_matrix(f, k, s.dtype).T, preferred_element_type=jnp.float32
+    ).astype(v.dtype)  # [B, F*K]
+    dv2 = g[:, None].astype(v.dtype) * (s_tiled - v.reshape(b, f * k))
+    return (dv2.reshape(b, f, k),)
+
+
+fm_cross_matmul.defvjp(_fm_matmul_fwd, _fm_matmul_bwd)
+
+
 def _fm_fwd_kernel(v_ref, out_ref):
     v = v_ref[:].astype(jnp.float32)
     s = jnp.sum(v, axis=1)  # [TB, K]
@@ -125,7 +177,7 @@ def fm_cross_pallas(v: jax.Array, tile_b: int | None = None, interpret: bool | N
     return _fm_pallas(v, tile_b, interpret)
 
 
-_IMPLS = {"xla": fm_cross_xla, "pallas": fm_cross_pallas}
+_IMPLS = {"xla": fm_cross_xla, "pallas": fm_cross_pallas, "matmul": fm_cross_matmul}
 _AUTO_DEFAULT = {"tpu": "xla", "other": "xla"}
 
 

@@ -81,3 +81,17 @@ def test_fm_pallas_grad_matches(rng):
     g_ref = obj(fm_cross_xla)
     g_pal = obj(lambda x: fm_cross_pallas(x, tile_b=16, interpret=True))
     np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fm_matmul_matches_xla(rng):
+    from rectpu.ops.fm import fm_cross_matmul
+
+    for b, f, k in [(64, 26, 4), (33, 7, 16)]:
+        v = jnp.asarray(rng.normal(size=(b, f, k)).astype(np.float32))
+        np.testing.assert_allclose(
+            fm_cross_matmul(v), fm_cross_xla(v), rtol=1e-4, atol=1e-5
+        )
+        w = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
+        g_ref = jax.grad(lambda x: jnp.sum(w * fm_cross_xla(x)))(v)
+        g_mm = jax.grad(lambda x: jnp.sum(w * fm_cross_matmul(x)))(v)
+        np.testing.assert_allclose(g_mm, g_ref, rtol=1e-4, atol=1e-5)
