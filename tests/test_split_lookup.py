@@ -73,3 +73,31 @@ def test_model_with_split_impl(setup):
         params = model.init(jax.random.PRNGKey(0))
         outs[impl] = np.asarray(model.apply(params, batch))
     np.testing.assert_allclose(outs["split"], outs["take"], rtol=1e-5, atol=1e-6)
+
+
+def test_split_pallas_small_impl_interpret(setup):
+    """The pallas small-table path (TPU default) via interpret mode."""
+    table, ids, field_info = setup
+    got = lookup_split(table, ids, field_info, small_threshold=1500, small_impl="pallas")
+    # note: on CPU lookup_pallas auto-selects interpret mode
+    np.testing.assert_allclose(np.asarray(got), np.asarray(lookup_take(table, ids)), rtol=1e-6)
+
+
+def test_split_gather_dtype_bf16(setup):
+    """bf16 gather == fp32 gather then cast (elementwise), and the scatter
+    gradient accumulates in fp32."""
+    table, ids, field_info = setup
+    got = lookup_split(table, ids, field_info, small_impl="onehot",
+                       gather_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    ref = lookup_take(table, ids).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # gradient returns fp32 (table dtype), accumulated in fp32
+    g = jax.grad(
+        lambda t: lookup_split(t, ids, field_info, small_impl="onehot",
+                               gather_dtype=jnp.bfloat16).astype(jnp.float32).sum()
+    )(table)
+    assert g.dtype == table.dtype
+    counts = np.bincount(np.asarray(ids).ravel(), minlength=table.shape[0])
+    np.testing.assert_allclose(np.asarray(g[:, 0]), counts.astype(np.float32), rtol=1e-6)
