@@ -18,7 +18,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rectpu.parallel.embedding_ep import make_ep_lookup
+from rectpu.parallel.embedding_ep import make_ep_lookup, make_ep_lookup_2d
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 
 
@@ -28,16 +28,30 @@ class ParallelPlan:
     ep: bool  # row-shard embedding tables over 'model'
     lookup_fn: object | None
     table_rows: int | None = None  # padded table row count, the EP key
+    ep_mode: str = "2d"  # "2d": batch over ALL devices (DLRM); "1d": batch over 'data' only
 
     @classmethod
     def create(
         cls, num_data_shards: int, num_model_shards: int = 1, devices=None,
-        table_rows: int | None = None,
+        table_rows: int | None = None, ep_mode: str = "2d",
     ):
         mesh = make_mesh(num_data_shards, num_model_shards, devices)
         ep = num_model_shards > 1
-        lookup_fn = make_ep_lookup(mesh) if ep else None
-        return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows)
+        if not ep:
+            lookup_fn = None
+        elif ep_mode == "2d":
+            lookup_fn = make_ep_lookup_2d(mesh)
+        else:
+            lookup_fn = make_ep_lookup(mesh)
+        return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
+                   ep_mode=ep_mode)
+
+    @property
+    def _batch_axes(self):
+        # with 2D EP the batch dim spans the whole mesh; otherwise 'data' only
+        if self.ep and self.ep_mode == "2d":
+            return (DATA_AXIS, MODEL_AXIS)
+        return DATA_AXIS
 
     # -- shardings ----------------------------------------------------------
 
@@ -64,14 +78,14 @@ class ParallelPlan:
     def shard_batch(self, batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
-            spec = P(DATA_AXIS, *([None] * (np.ndim(v) - 1)))
+            spec = P(self._batch_axes, *([None] * (np.ndim(v) - 1)))
             out[k] = jax.device_put(v, self._sh(spec))
         return out
 
     def shard_superbatch(self, stacked: dict) -> dict:
         out = {}
         for k, v in stacked.items():
-            spec = P(None, DATA_AXIS, *([None] * (np.ndim(v) - 2)))
+            spec = P(None, self._batch_axes, *([None] * (np.ndim(v) - 2)))
             out[k] = jax.device_put(v, self._sh(spec))
         return out
 

@@ -134,3 +134,72 @@ def test_trainer_with_plan_matches_unsharded(synthetic_dir, tmp_path):
     assert m_sh["count"] == 1200
     for key in ("auc", "average_loss", "accuracy"):
         assert np.isclose(m_ref[key], m_sh[key], rtol=1e-5, atol=1e-6), (key, m_ref, m_sh)
+
+
+def test_ep2d_lookup_matches_local(rng):
+    from rectpu.parallel.embedding_ep import make_ep_lookup_2d
+
+    mesh = make_mesh(2, 4)
+    lookup = make_ep_lookup_2d(mesh)
+    v, k = 512, 8
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, size=(16, 26)).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(lookup(table, ids)), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+    )
+
+
+def test_ep2d_lookup_grad_matches_local(rng):
+    from rectpu.parallel.embedding_ep import make_ep_lookup_2d
+
+    mesh = make_mesh(4, 2)
+    lookup = make_ep_lookup_2d(mesh)
+    v, k = 256, 4
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, size=(8, 26)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(8, 26, k)).astype(np.float32))
+
+    def obj(fn):
+        return jax.grad(lambda t: jnp.sum(w * fn(t, ids)))(table)
+
+    np.testing.assert_allclose(
+        np.asarray(obj(lookup)), np.asarray(obj(lambda t, i: jnp.take(t, i, axis=0))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("ep_mode", ["1d", "2d"])
+def test_sharded_train_step_both_ep_modes(ep_mode, rng):
+    """2x4 mesh, both EP exchanges: identical to the single-device step."""
+    nd, nm = 2, 4
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=8 * nm)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = model.default_optimizer()
+    opt_state = opt.init(params)
+    batch = _batch(fs, 32, rng)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def step(params, opt_state, batch, lookup_fn):
+        def loss_fn(p):
+            logits = model.apply(p, batch, train=False, lookup_fn=lookup_fn)
+            return sigmoid_xent(logits, batch["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    p_ref, _, loss_ref = jax.jit(lambda p, s, b: step(p, s, b, None))(
+        params, opt_state, batch_j
+    )
+    plan = ParallelPlan.create(nd, nm, table_rows=cfg.padded_buckets, ep_mode=ep_mode)
+    p_out, _, loss_sh = jax.jit(lambda p, s, b: step(p, s, b, plan.lookup_fn))(
+        plan.shard_params(params), plan.shard_params(opt_state), plan.shard_batch(batch)
+    )
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        jax.device_get(p_ref), jax.device_get(p_out),
+    )
