@@ -274,15 +274,28 @@ class Trainer:
                 jax.profiler.start_trace(self.profile_dir)
                 profiling = True
             if pipelined:
-                # K async single-step dispatches; block only on the last loss
+                # K async single-step dispatches with depth-2 device prefetch;
+                # block only on the last loss
                 losses = None
-                for i in range(k):
-                    batch, data_state = next(batch_iter)
+                prefetch: list = []
+
+                def stage():
+                    nonlocal data_state
+                    b, data_state = next(batch_iter)
                     if self.plan is not None:
-                        batch = self.plan.shard_batch(batch)
+                        return self.plan.shard_batch(b)
+                    return {kk: jax.device_put(v) for kk, v in b.items()}
+
+                depth = min(2, k)
+                for _ in range(depth):
+                    prefetch.append(stage())
+                for i in range(k):
+                    batch = prefetch.pop(0)
                     params, opt_state, losses = self._train_one(
                         params, opt_state, rng, jnp.asarray(step + i, jnp.int32), batch
                     )
+                    if i + depth < k:
+                        prefetch.append(stage())
             else:
                 stacked, data_state = self._stack_batches(batch_iter, k)
                 params, opt_state, step_dev, losses = self._train_chunk(
