@@ -17,7 +17,7 @@ directly onto the TPU's MXU/VPU with static shapes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import numpy as np

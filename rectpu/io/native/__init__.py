@@ -10,7 +10,6 @@ path with identical semantics.
 from __future__ import annotations
 
 import ctypes
-import os
 from pathlib import Path
 
 import numpy as np

@@ -14,7 +14,7 @@ Initializer choices mirror TF defaults so training dynamics match:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +74,6 @@ def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_d
     act = get_activation(activation)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    n_hidden = len(layers) - 1
     for i, layer in enumerate(layers[:-1]):
         kernel = layer["kernel"]
         bias = layer["bias"]

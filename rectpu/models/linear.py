@@ -7,8 +7,6 @@ bucket plus a bias, trained with FTRL by default (TF canned default).
 
 from __future__ import annotations
 
-import jax
-
 from rectpu.models.base import TowerConfig, apply_linear_tower, init_linear_tower
 
 

@@ -9,8 +9,6 @@ Adagrad(0.05) — expressed here as a per-subtree optimizer mapping.
 
 from __future__ import annotations
 
-import jax
-
 from rectpu.models.base import TowerConfig, apply_linear_tower, init_linear_tower
 from rectpu.models.dnn import DNNModel
 

@@ -18,7 +18,6 @@ outputs (logits / logistic / probabilities / class_id).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import shutil
 import time
