@@ -131,3 +131,29 @@ def test_eval_auc_matches_exact_oracle(synthetic_dir, tmp_path):
     probs = np.asarray(jax.nn.sigmoid(logits))
     oracle = exact_auc(probs, eval_ds.labels)
     assert abs(m["auc"] - oracle) < 0.005
+
+
+def test_pipelined_dispatch_matches_scan(synthetic_dir, tmp_path):
+    """dispatch_mode='pipelined' must reproduce the scan path's metrics
+    exactly (same math, different dispatch strategy)."""
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.io.loader import CsvDataset
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.loop import TrainConfig, Trainer
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16))
+    train_ds = CsvDataset(synthetic_dir["train"], fs)
+    eval_ds = CsvDataset(synthetic_dir["test"], fs)
+
+    metrics = {}
+    for mode in ("scan", "pipelined"):
+        model = DeepFMModel(cfg)
+        tc = TrainConfig(batch_size=64, train_steps=300, steps_per_loop=50,
+                         save_checkpoints_steps=10**6, dispatch_mode=mode)
+        trainer = Trainer(model, model.default_optimizer(), train_ds, eval_ds,
+                          tmp_path / mode, tc)
+        metrics[mode] = trainer.train_and_evaluate(restore=False)
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(metrics["scan"][key], metrics["pipelined"][key],
+                          rtol=1e-5, atol=1e-6), (key, metrics)
