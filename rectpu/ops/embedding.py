@@ -256,13 +256,84 @@ def _lookup_split_fwd(table, ids, field_info, small_threshold, small_impl, gathe
     return out, (table.shape[0], table[:0, :0], ids)
 
 
+def _small_field_runs(field_info, small_threshold):
+    """Contiguous global-id ranges covering the small fields, with each
+    field's (field_idx, run_idx, offset_within_run). Static, host-side."""
+    offsets, sizes = field_info
+    runs = []  # list of [start, end)
+    members = []  # (field, run_index, local_offset)
+    for f in range(len(sizes)):
+        if sizes[f] > small_threshold:
+            continue
+        start, end = offsets[f], offsets[f] + sizes[f]
+        if runs and runs[-1][1] == start:
+            members.append((f, len(runs) - 1, runs[-1][1] - runs[-1][0]))
+            runs[-1][1] = end
+        else:
+            members.append((f, len(runs), 0))
+            runs.append([start, end])
+    return runs, members
+
+
 def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, res, g):
+    """Split transpose: per-row scatter only for the huge hashed fields.
+
+    A single scatter-add over all B*F rows costs ~16 ns/ROW on TPU — 3.4 ms
+    of a 5.7 ms step at the scaled config. Small fields' cotangents instead
+    reduce on the MXU (one-hot^T matmul -> [rows_in_run, K]) and land as
+    contiguous-range adds; the scatter handles only the big fields
+    (3 x B rows instead of F x B). Everything accumulates in fp32.
+    """
     v, dtype_token, ids = res
     table_dtype = dtype_token.dtype
+    offsets, sizes = field_info
+    f_total = len(sizes)
     k = g.shape[-1]
-    flat_ids = ids.reshape(-1)
-    g_flat = g.reshape(-1, k).astype(jnp.float32)
-    dtable = jnp.zeros((v, k), jnp.float32).at[flat_ids].add(g_flat)
+    big = [f for f in range(f_total) if sizes[f] > small_threshold]
+    runs, members = _small_field_runs(field_info, small_threshold)
+
+    dtable = jnp.zeros((v, k), jnp.float32)
+
+    def field_runs(fields):
+        """Group consecutive field indices into [flo, fhi) runs (static).
+        Consecutive fields occupy a CONTIGUOUS table-id range (offsets are
+        cumulative), so a run's global ids already live in
+        [offsets[flo], offsets[fhi-1] + sizes[fhi-1])."""
+        out = []
+        for f in fields:
+            if out and out[-1][1] == f:
+                out[-1][1] = f + 1
+            else:
+                out.append([f, f + 1])
+        return out
+
+    fdim_ids = ids.ndim - 1
+    fdim_g = g.ndim - 2
+
+    # small fields: per-run one-hot^T matmul reduction + contiguous range write
+    for flo, fhi in field_runs([m[0] for m in members]):
+        start = offsets[flo]
+        end = offsets[fhi - 1] + sizes[fhi - 1]
+        ids_r = jax.lax.slice_in_dim(ids, flo, fhi, axis=fdim_ids).reshape(-1) - start
+        g_r = jax.lax.slice_in_dim(g, flo, fhi, axis=fdim_g).reshape(-1, k)
+        onehot = jax.nn.one_hot(ids_r, end - start, dtype=g_r.dtype)
+        d_run = jax.lax.dot_general(
+            onehot, g_r,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [end-start, k]
+        dtable = jax.lax.dynamic_update_slice(dtable, d_run, (start, 0))
+
+    # big fields: per-run scatter-add (orders of magnitude fewer rows than F*B)
+    for flo, fhi in field_runs(big):
+        ids_r = jax.lax.slice_in_dim(ids, flo, fhi, axis=fdim_ids).reshape(-1)
+        g_r = (
+            jax.lax.slice_in_dim(g, flo, fhi, axis=fdim_g)
+            .reshape(-1, k)
+            .astype(jnp.float32)
+        )
+        dtable = dtable.at[ids_r].add(g_r)
+
     return dtable.astype(table_dtype), None
 
 

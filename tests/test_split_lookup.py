@@ -41,7 +41,8 @@ def test_split_grad_matches_take(setup):
 
     g_ref = obj(lambda t: lookup_take(t, ids))
     g_split = obj(lambda t: lookup_split(t, ids, field_info, small_threshold=1500, small_impl="onehot"))
-    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+    # matmul-reduction vs scatter-add differ in fp32 accumulation order
+    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
 
 def test_dispatcher_split(setup):
