@@ -59,6 +59,11 @@ class TrainConfig:
     #                param trees; measured on v5e at batch 8192);
     #   "auto":      pipelined when batch_size >= 2048, else scan.
     dispatch_mode: str = "auto"
+    # "mean" (default) or "sum": TF-1.x heads trained on the SUM of per-example
+    # losses (tf.losses.Reduction.SUM); mean is scale-stable across batch
+    # sizes. Affects optimizer dynamics for non-scale-invariant optimizers
+    # (FTRL/Adagrad/SGD); choose "sum" for strict reference-1.12 dynamics.
+    loss_reduction: str = "mean"
 
 
 class Trainer:
@@ -107,6 +112,8 @@ class Trainer:
             params, batch, train=True, rng=rng, lookup_fn=self._lookup_fn()
         )
         losses = metrics_lib.sigmoid_xent(logits, batch["labels"])
+        if self.config.loss_reduction == "sum":
+            return losses.sum()
         return losses.mean()
 
     def _build_steps(self):

@@ -40,6 +40,8 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
     parser.add_argument("--steps-per-loop", type=int, default=100,
                         help="device steps per host-loop iteration (default: %(default)s)")
     parser.add_argument("--seed", type=int, default=42, help="PRNG seed")
+    parser.add_argument("--loss-reduction", default="mean", choices=["mean", "sum"],
+                        help="per-batch loss reduction; 'sum' = TF-1.x head semantics")
     parser.add_argument("--embedding-impl", default="auto",
                         choices=["auto", "take", "onehot", "pallas", "split"],
                         help="embedding lookup kernel (default: %(default)s)")
@@ -120,6 +122,7 @@ def build_trainer(args, model, optimizer=None):
         save_checkpoints_steps=args.save_checkpoints_steps,
         steps_per_loop=args.steps_per_loop,
         seed=args.seed,
+        loss_reduction=args.loss_reduction,
     )
     optimizer = optimizer or model.default_optimizer()
     exporter = make_exporter(model, args.job_dir)

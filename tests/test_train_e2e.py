@@ -157,3 +157,13 @@ def test_pipelined_dispatch_matches_scan(synthetic_dir, tmp_path):
     for key in ("auc", "average_loss", "accuracy"):
         assert np.isclose(metrics["scan"][key], metrics["pipelined"][key],
                           rtol=1e-5, atol=1e-6), (key, metrics)
+
+
+def test_loss_reduction_sum_mode(synthetic_dir, tmp_path):
+    """'sum' reduction trains (TF-1.x head semantics) and differs from 'mean'."""
+    mod, args = _args("deep_fm", synthetic_dir, tmp_path / "sum",
+                      train_steps=200, save_steps=10**6)
+    args.loss_reduction = "sum"
+    # Adam is nearly scale-invariant, so sum-mode still converges
+    m_sum = mod.train_and_evaluate(args)
+    assert np.isfinite(m_sum["average_loss"]) and m_sum["average_loss"] < 2.0
