@@ -53,6 +53,10 @@ def make_sparse_deepfm_step(
     cfg = model.cfg
     if model.use_linear and not cfg.fuse_linear_lookup:
         raise ValueError("sparse fast step requires fuse_linear_lookup=True")
+    if getattr(model, "packed", False):
+        raise ValueError(
+            "sparse fast step manages emb/linear.w itself; use packed_linear=False"
+        )
     k = cfg.embedding_size
     fs = cfg.feature_set
     field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
