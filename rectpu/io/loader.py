@@ -134,23 +134,35 @@ class CsvDataset:
 
     # -- batching ------------------------------------------------------------
 
-    def train_batches(self, batch_size: int, state: DataState | None = None, seed: int = 0):
+    def train_batches(
+        self,
+        batch_size: int,
+        state: DataState | None = None,
+        seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
+    ):
         """Infinite shuffled batches of static shape [batch_size, ...].
 
         Yields (batch_dict, DataState). The state yielded alongside a batch is
         the position AFTER that batch, so checkpointing (state, step) resumes
         exactly. Remainder rows of an epoch fold into the next epoch's head so
         no example is dropped over time.
+
+        Multi-host: every host computes the SAME seeded permutation and takes
+        the disjoint slice ``perm[shard_id::num_shards]`` — together the
+        shards cover each epoch exactly once (replaces the reference's
+        per-worker tf.data sharding).
         """
         state = state or DataState(seed=seed)
         epoch, index = state.epoch, state.index
-        perm = self._perm(epoch, state.seed)
+        perm = self._perm(epoch, state.seed)[shard_id::num_shards]
         carry_ids = np.empty((0, self.cat_ids.shape[1]), dtype=np.int32)
         carry_num = np.empty((0, self.num_vals.shape[1]), dtype=np.float32)
         carry_lab = np.empty((0,), dtype=np.float32)
         while True:
             take = batch_size - carry_lab.shape[0]
-            if index + take <= self.size:
+            if index + take <= perm.shape[0]:
                 sel = perm[index : index + take]
                 index += take
                 ids = np.concatenate([carry_ids, self.cat_ids[sel]]) if carry_lab.size else self.cat_ids[sel]
@@ -168,20 +180,27 @@ class CsvDataset:
                 carry_lab = np.concatenate([carry_lab, self.labels[sel]])
                 epoch += 1
                 index = 0
-                perm = self._perm(epoch, state.seed)
+                perm = self._perm(epoch, state.seed)[shard_id::num_shards]
 
-    def eval_batches(self, batch_size: int):
+    def eval_batches(self, batch_size: int, shard_id: int = 0, num_shards: int = 1):
         """One ordered pass; the last batch is zero-padded with weight=0.
 
         Every batch has static shape so the jitted eval step compiles once;
-        ``weights`` masks padding out of the metrics.
+        ``weights`` masks padding out of the metrics. Multi-host: each host
+        walks the disjoint row slice ``[shard_id::num_shards]``; the metric
+        psum across the mesh yields the global numbers.
         """
-        for start in range(0, self.size, batch_size):
-            end = min(start + batch_size, self.size)
-            n = end - start
-            ids = self.cat_ids[start:end]
-            num = self.num_vals[start:end]
-            lab = self.labels[start:end]
+        rows = np.arange(self.size)[shard_id::num_shards]
+        # every shard must emit the SAME number of batches (SPMD eval runs
+        # collectives every step); short shards emit trailing all-padding ones
+        max_shard_rows = -(-self.size // num_shards)
+        n_batches = max(-(-max_shard_rows // batch_size), 1)
+        for b in range(n_batches):
+            sel = rows[b * batch_size : (b + 1) * batch_size]
+            n = sel.shape[0]
+            ids = self.cat_ids[sel]
+            num = self.num_vals[sel]
+            lab = self.labels[sel]
             w = np.ones((n,), dtype=np.float32)
             if n < batch_size:
                 pad = batch_size - n

@@ -75,19 +75,37 @@ class ParallelPlan:
             lambda leaf: jax.device_put(leaf, self._sh(self._param_spec(leaf))), params
         )
 
+    def _put_batchlike(self, tree: dict, spec_of) -> dict:
+        """Place host arrays with batch-dim sharding. Single-process: a plain
+        device_put of the global array. Multi-process: the incoming arrays are
+        this host's LOCAL rows (the loader shards by process, see
+        CsvDataset.train_batches) and are assembled into one global array."""
+        specs = {k: spec_of(v) for k, v in tree.items()}
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.host_local_array_to_global_array(
+                tree, self.mesh, specs
+            )
+        return {k: jax.device_put(v, self._sh(specs[k])) for k, v in tree.items()}
+
     def shard_batch(self, batch: dict) -> dict:
-        out = {}
-        for k, v in batch.items():
-            spec = P(self._batch_axes, *([None] * (np.ndim(v) - 1)))
-            out[k] = jax.device_put(v, self._sh(spec))
-        return out
+        return self._put_batchlike(
+            batch, lambda v: P(self._batch_axes, *([None] * (np.ndim(v) - 1)))
+        )
 
     def shard_superbatch(self, stacked: dict) -> dict:
-        out = {}
-        for k, v in stacked.items():
-            spec = P(None, self._batch_axes, *([None] * (np.ndim(v) - 2)))
-            out[k] = jax.device_put(v, self._sh(spec))
-        return out
+        return self._put_batchlike(
+            stacked, lambda v: P(None, self._batch_axes, *([None] * (np.ndim(v) - 2)))
+        )
+
+    @property
+    def process_count(self) -> int:
+        return jax.process_count()
+
+    @property
+    def process_index(self) -> int:
+        return jax.process_index()
 
     def replicate_metric_state(self, mstate):
         return jax.tree.map(lambda leaf: jax.device_put(leaf, self._sh(P())), mstate)

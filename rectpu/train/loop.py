@@ -91,7 +91,7 @@ class Trainer:
             self.job_dir, keep=config.keep_checkpoint_max,
             async_write=config.async_checkpoint,
         )
-        if event_writer is None:
+        if event_writer is None and jax.process_index() == 0:
             try:
                 from rectpu.utils.events import EventWriter
 
@@ -163,6 +163,12 @@ class Trainer:
         self._train_one = jax.jit(train_one, donate_argnums=(0, 1))
         self._eval_cache = None  # device-resident stacked eval set
 
+    def _proc_info(self):
+        """(num_processes, process_index) — multi-host via the plan, else (1, 0)."""
+        if self.plan is not None:
+            return self.plan.process_count, self.plan.process_index
+        return 1, 0
+
     def _dispatch_mode(self) -> str:
         mode = self.config.dispatch_mode
         if mode == "auto":
@@ -192,11 +198,16 @@ class Trainer:
         60-second eval cadence costs one device call, not one per batch.
         """
         eval_bs = self.config.eval_batch_size or max(self.config.batch_size, 512)
+        nproc, pidx = self._proc_info()
         mstate = metrics_lib.init_state()
         if self.plan is not None:
             mstate = self.plan.replicate_metric_state(mstate)
         if self._eval_cache is None:
-            batches = list(self.eval_ds.eval_batches(eval_bs))
+            batches = list(
+                self.eval_ds.eval_batches(
+                    max(eval_bs // nproc, 1), shard_id=pidx, num_shards=nproc
+                )
+            )
             stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
             if self.plan is not None:
                 stacked = self.plan.shard_superbatch(stacked)
@@ -256,13 +267,21 @@ class Trainer:
             params = self.plan.shard_params(params)
             opt_state = self.plan.shard_params(opt_state)
 
-        batch_iter = self.train_ds.train_batches(cfg.batch_size, state=data_state, seed=cfg.seed)
+        nproc, pidx = self._proc_info()
+        if cfg.batch_size % nproc:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by {nproc} processes")
+        batch_iter = self.train_ds.train_batches(
+            cfg.batch_size // nproc, state=data_state, seed=cfg.seed,
+            shard_id=pidx, num_shards=nproc,
+        )
         last_save = time.time()
         t_loop = time.time()
         examples_acc = 0
         last_metrics: dict = {}
 
         def save(step, params, opt_state, data_state):
+            if pidx != 0:
+                return  # params are host-replicated; process 0 owns the disk
             self.ckpt.save(
                 step,
                 {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)},
@@ -346,7 +365,7 @@ class Trainer:
                         {f"eval/{k}": v for k, v in last_metrics.items()}, step
                     )
                 self._log_histograms(params, step)
-                if self.exporter is not None:
+                if self.exporter is not None and pidx == 0:
                     self.exporter(params, step)
 
         save(step, params, opt_state, data_state)
@@ -355,7 +374,7 @@ class Trainer:
             logger.info("final eval at step %d: %s", step, _fmt_metrics(last_metrics))
             if self.events:
                 self.events.add_scalars({f"eval/{k}": v for k, v in last_metrics.items()}, step)
-        if self.exporter is not None:
+        if self.exporter is not None and pidx == 0:
             self.exporter(params, step)
         if self.events:
             self.events.flush()

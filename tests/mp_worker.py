@@ -1,0 +1,75 @@
+"""Worker for the multi-process distributed test (tests/test_multiprocess.py).
+
+Runs a short DP DeepFM training via the REAL Trainer under
+jax.distributed.initialize with N processes on CPU, then (process 0) dumps
+the final eval metrics + a param digest for the launcher to compare against
+a single-process run. This exercises the genuine multi-host code paths:
+per-process data sharding, host-local -> global array assembly, GSPMD grad
+psum across processes, proc-0-only checkpoint/export, restore barrier.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    coordinator = sys.argv[3]
+    data_dir = sys.argv[4]
+    out_path = sys.argv[5]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator, num_processes=nproc, process_id=pid
+        )
+
+    import numpy as np
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.io.loader import CsvDataset
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.parallel import ParallelPlan
+    from rectpu.train.loop import TrainConfig, Trainer
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16))
+    model = DeepFMModel(cfg)
+    train_ds = CsvDataset(os.path.join(data_dir, "train.csv"), fs)
+    eval_ds = CsvDataset(os.path.join(data_dir, "test.csv"), fs)
+
+    plan = ParallelPlan.create(
+        num_data_shards=jax.device_count(), num_model_shards=1,
+        table_rows=cfg.padded_buckets,
+    )
+    tc = TrainConfig(batch_size=64, train_steps=200, steps_per_loop=50,
+                     save_checkpoints_steps=10**6, async_checkpoint=False)
+    trainer = Trainer(
+        model, model.default_optimizer(), train_ds, eval_ds,
+        os.path.join(data_dir, f"job_np{nproc}"), tc, plan=plan,
+    )
+    metrics = trainer.train_and_evaluate(restore=False)
+
+    params = jax.device_get(trainer._final_params)
+    digest = float(
+        sum(np.abs(np.asarray(leaf)).sum() for leaf in jax.tree.leaves(params))
+    )
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump({"metrics": metrics, "param_digest": digest}, f)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mp_worker_done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""True multi-process distributed training test (SURVEY.md §4: 'multi-process
+CPU tests'): 2 OS processes, jax.distributed + Gloo, real Trainer. The
+2-process run must reproduce the single-process run's metrics and parameters
+(batch-order permutations within a step don't change a mean-reduced
+gradient; dropout is off)."""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).parent / "mp_worker.py"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run(nproc, data_dir, tmp_path):
+    out = tmp_path / f"out_np{nproc}.json"
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), str(nproc), coordinator,
+             str(data_dir), str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(WORKER.parent.parent),
+        )
+        for pid in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=420)
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
+    return json.loads(out.read_text())
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_training_matches_single(tmp_path):
+    from rectpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    write_synthetic_dataset(data_dir, train_rows=2000, test_rows=512, seed=11)
+
+    single = _run(1, data_dir, tmp_path)
+    multi = _run(2, data_dir, tmp_path)
+
+    assert multi["metrics"]["count"] == 512
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(single["metrics"][key], multi["metrics"][key],
+                          rtol=1e-4, atol=1e-5), (key, single, multi)
+    assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
