@@ -21,6 +21,7 @@ def main():
     coordinator = sys.argv[3]
     data_dir = sys.argv[4]
     out_path = sys.argv[5]
+    model_shards = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -47,14 +48,15 @@ def main():
     eval_ds = CsvDataset(os.path.join(data_dir, "test.csv"), fs)
 
     plan = ParallelPlan.create(
-        num_data_shards=jax.device_count(), num_model_shards=1,
+        num_data_shards=jax.device_count() // model_shards,
+        num_model_shards=model_shards,
         table_rows=cfg.padded_buckets,
     )
     tc = TrainConfig(batch_size=64, train_steps=200, steps_per_loop=50,
                      save_checkpoints_steps=10**6, async_checkpoint=False)
     trainer = Trainer(
         model, model.default_optimizer(), train_ds, eval_ds,
-        os.path.join(data_dir, f"job_np{nproc}"), tc, plan=plan,
+        os.path.join(data_dir, f"job_np{nproc}_m{model_shards}"), tc, plan=plan,
     )
     metrics = trainer.train_and_evaluate(restore=False)
 
