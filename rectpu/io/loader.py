@@ -8,8 +8,9 @@ columnar numpy arrays (global ids per field + float label), then batch
 iteration is pure array slicing — zero per-step Python parse work, so the
 host never starves the chip. Parsing+encoding runs through the native C++
 loader (rectpu.io.native) when built, with a pandas fallback of identical
-semantics. For datasets larger than host RAM the C++ loader streams chunks;
-ml-100k-scale data is fully resident.
+semantics. The encoded form is ~110 bytes/example, so hundreds of millions
+of examples fit resident per host; out-of-core chunked streaming is future
+work (the C++ parser is already chunk-structured for it).
 
 Semantics preserved from the reference:
   - label = (rating >= cutoff), cutoff default 5 (trainers/ml_100k.py:48)
