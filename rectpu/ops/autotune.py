@@ -31,12 +31,24 @@ def _time(fn, *args, iters=20):
 
 
 def autotune(batch: int, num_fields: int, embedding_size: int, vocab_rows: int,
-             include_grad: bool = True) -> dict:
-    """Benchmark all impls at the working shapes; set the 'auto' defaults."""
+             include_grad: bool = True, field_info=None) -> dict:
+    """Benchmark all impls at the working shapes; set the 'auto' defaults.
+
+    ``field_info`` (offsets, sizes) additionally benchmarks the field-aware
+    split lookup — the usual winner on TPU (RESULTS.md).
+    """
     rng = np.random.default_rng(0)
     on_tpu = emb_ops._on_tpu()
     table = jnp.asarray(rng.normal(size=(vocab_rows, embedding_size)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, vocab_rows, size=(batch, num_fields)).astype(np.int32))
+    if field_info is not None:
+        offsets, sizes = field_info
+        ids_np = np.stack(
+            [offsets[f] + rng.integers(0, sizes[f], size=batch) for f in range(num_fields)],
+            axis=1,
+        ).astype(np.int32)
+    else:
+        ids_np = rng.integers(0, vocab_rows, size=(batch, num_fields)).astype(np.int32)
+    ids = jnp.asarray(ids_np)
     v = jnp.asarray(rng.normal(size=(batch, num_fields, embedding_size)).astype(np.float32))
 
     results = {}
@@ -46,10 +58,14 @@ def autotune(batch: int, num_fields: int, embedding_size: int, vocab_rows: int,
     if vocab_rows <= 16384:
         lookup_candidates["onehot"] = emb_ops.lookup_onehot
         lookup_candidates["pallas"] = emb_ops.lookup_pallas
+    if field_info is not None:
+        lookup_candidates["split"] = (
+            lambda t, i: emb_ops.lookup_split(t, i, field_info)
+        )
     for name, fn in lookup_candidates.items():
         t = _time(fn, table, ids)
         if include_grad:
-            t += _time(jax.grad(lambda tb: jnp.sum(fn(tb, ids))), table)
+            t += _time(jax.grad(lambda tb: jnp.sum(fn(tb, ids).astype(jnp.float32))), table)
         results[f"lookup/{name}"] = t
     best_lookup = min(lookup_candidates, key=lambda n: results[f"lookup/{n}"])
     emb_ops.set_auto_impl(best_lookup, on_tpu=on_tpu)

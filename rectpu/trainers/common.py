@@ -89,11 +89,13 @@ def build_trainer(args, model, optimizer=None):
         from rectpu.ops.autotune import autotune
 
         cfg = model.cfg
+        fs2 = cfg.feature_set
         autotune(
             batch=args.batch_size,
             num_fields=cfg.num_fields,
             embedding_size=cfg.embedding_size,
             vocab_rows=cfg.padded_buckets,
+            field_info=(tuple(int(o) for o in fs2.offsets), tuple(fs2.field_sizes)),
         )
 
     if not args.restore:

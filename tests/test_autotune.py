@@ -27,3 +27,15 @@ def test_autotune_skips_onehot_for_large_vocab():
                       include_grad=False)
     assert result["lookup"] == "take"  # one-hot candidates excluded
     assert "lookup/onehot" not in result["timings_s"]
+
+
+def test_autotune_with_field_info():
+    from rectpu.features.schema import ml_100k_feature_set
+
+    fs = ml_100k_feature_set()
+    field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+    result = autotune(batch=64, num_fields=fs.num_fields, embedding_size=4,
+                      vocab_rows=fs.total_buckets, include_grad=True,
+                      field_info=field_info)
+    assert "lookup/split" in result["timings_s"]
+    assert result["lookup"] in ("take", "onehot", "pallas", "split")
