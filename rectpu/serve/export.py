@@ -14,6 +14,14 @@ accepts the reference's serving request schema — required features
 user_id, item_id, age, gender, occupation, zipcode, release_year, with the 19
 genre flags optional and defaulting to 0 — and returns the binary head's
 outputs (logits / logistic / probabilities / class_id).
+
+Each export additionally carries ``apply.jaxexport``: the inference graph
+serialized via ``jax.export`` (StableHLO, batch-polymorphic, lowered for both
+cpu and tpu). Like a SavedModel's GraphDef, it makes the artifact
+self-contained — a server can execute it without the Python model code — and
+skips retracing at startup. ``load_model(..., use_serialized=True)`` runs
+predictions through it; the default keeps the Python apply (needed for
+kernel-impl autotuning) but verifies against the same math.
 """
 
 from __future__ import annotations
@@ -35,6 +43,36 @@ from rectpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 SERVING_REQUIRED = ["user_id", "item_id", "age", "gender", "occupation", "zipcode", "release_year"]
+
+
+def _serialized_apply_bytes(model, params_host) -> bytes:
+    """Serialize the inference graph with jax.export.
+
+    Batch-polymorphic (symbolic leading dim) so one artifact serves every
+    request size; lowered for cpu AND tpu so the artifact is portable. The
+    embedding lookup is pinned to the plain-gather impl — correct on every
+    platform and shape-polymorphic (the Pallas/split kernels bake in static
+    batch tiles)."""
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from rectpu.ops.embedding import lookup_take
+
+    (b,) = jax_export.symbolic_shape("b")
+    fs = model.cfg.feature_set
+    param_specs = jax.tree.map(
+        lambda p: jax.ShapeDtypeStruct(np.shape(p), np.asarray(p).dtype), params_host
+    )
+    batch_spec = {
+        "cat_ids": jax.ShapeDtypeStruct((b, fs.num_fields), jnp.int32),
+        "num_vals": jax.ShapeDtypeStruct((b, fs.num_numeric), jnp.float32),
+    }
+
+    def fn(p, batch):
+        return binary_predictions(model.apply(p, batch, train=False, lookup_fn=lookup_take))
+
+    exp = jax_export.export(jax.jit(fn), platforms=("cpu", "tpu"))(param_specs, batch_spec)
+    return exp.serialize()
 
 
 def export_model(
@@ -80,6 +118,12 @@ def export_model(
                 if hasattr(model, k)
             },
         }
+        try:
+            (tmp / "apply.jaxexport").write_bytes(_serialized_apply_bytes(model, params_host))
+            meta["serialized_apply"] = True
+        except Exception as e:  # pragma: no cover - depends on backend support
+            logger.warning("jax.export serialization skipped: %s", e)
+            meta["serialized_apply"] = False
         (tmp / "model.json").write_text(json.dumps(meta))
         tmp.rename(final)
     except BaseException:
@@ -111,12 +155,16 @@ class ServingModel:
     compile per novel batch size would stall online serving).
     """
 
-    def __init__(self, model, params, feature_set: FeatureSet, max_batch: int = 4096):
+    def __init__(
+        self, model, params, feature_set: FeatureSet, max_batch: int = 4096, apply_fn=None
+    ):
         self.model = model
         self.params = params
         self.feature_set = feature_set
         self.max_batch = max_batch
-        self._apply = jax.jit(lambda p, b: binary_predictions(model.apply(p, b, train=False)))
+        if apply_fn is None:
+            apply_fn = jax.jit(lambda p, b: binary_predictions(model.apply(p, b, train=False)))
+        self._apply = apply_fn
 
     def _bucket(self, n: int) -> int:
         b = 1
@@ -172,8 +220,13 @@ class ServingModel:
         return {k: np.asarray(v)[:n] for k, v in jax.device_get(out).items()}
 
 
-def load_model(export_dir: str | Path) -> ServingModel:
-    """Rebuild a ServingModel from an export directory."""
+def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingModel:
+    """Rebuild a ServingModel from an export directory.
+
+    ``use_serialized=True`` executes the ``apply.jaxexport`` StableHLO graph
+    instead of retracing the Python model — the artifact is self-contained,
+    so this path works without the model class's compute code (SavedModel
+    parity) and skips Python retracing at startup."""
     export_dir = Path(export_dir)
     meta = json.loads((export_dir / "model.json").read_text())
     with np.load(export_dir / "arrays.npz") as z:
@@ -197,7 +250,16 @@ def load_model(export_dir: str | Path) -> ServingModel:
     model_cls = MODEL_REGISTRY[meta["model"]]
     kwargs = meta.get("model_kwargs", {})
     model = model_cls(cfg, **kwargs) if kwargs else model_cls(cfg)
-    return ServingModel(model, params, feature_set)
+    apply_fn = None
+    if use_serialized:
+        blob_path = export_dir / "apply.jaxexport"
+        if not (meta.get("serialized_apply") and blob_path.exists()):
+            raise FileNotFoundError(f"no serialized apply graph in {export_dir}")
+        from jax import export as jax_export
+
+        exp = jax_export.deserialize(blob_path.read_bytes())
+        apply_fn = jax.jit(exp.call)
+    return ServingModel(model, params, feature_set, apply_fn=apply_fn)
 
 
 def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5):

@@ -87,12 +87,23 @@ def make_handler(served):
 
 
 def serve(job_dir: str | None = None, export_dir: str | None = None,
-          host: str = "127.0.0.1", port: int = 8080):
+          host: str = "127.0.0.1", port: int = 8080, use_serialized: bool = False,
+          compilation_cache_dir: str | None = "/tmp/jax_cache"):
+    if compilation_cache_dir:
+        # persistent XLA cache: without it every server start recompiles the
+        # predict buckets (minutes over a remote-compile TPU tunnel)
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir", compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     if export_dir is None:
         export_dir = latest_export(job_dir)
         if export_dir is None:
             raise FileNotFoundError(f"no export under {job_dir}/export/exporter")
-    served = load_model(export_dir)
+    served = load_model(export_dir, use_serialized=use_serialized)
     logger.info("serving %s (required features: %s)", export_dir, SERVING_REQUIRED)
     logger.info("warming up predict compile...")
     served.warmup(sizes=(1, 2, 8, 64, 512))
@@ -109,5 +120,11 @@ if __name__ == "__main__":
     ap.add_argument("--export-dir", default=None, help="explicit export directory")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--serialized", action="store_true",
+                    help="execute the export's StableHLO graph (apply.jaxexport) "
+                         "instead of retracing the Python model")
+    ap.add_argument("--compilation-cache-dir", default="/tmp/jax_cache",
+                    help="persistent XLA compilation cache ('' disables)")
     a = ap.parse_args()
-    serve(a.job_dir, a.export_dir, a.host, a.port)
+    serve(a.job_dir, a.export_dir, a.host, a.port, use_serialized=a.serialized,
+          compilation_cache_dir=a.compilation_cache_dir)

@@ -31,6 +31,37 @@ class Optimizer:
     update: Callable  # (grads, state, params) -> (new_params, new_state)
 
 
+BF16_SR = "bfloat16_sr"  # slot-dtype token: bf16 storage w/ stochastic rounding
+
+
+def stochastic_round_bf16(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """Unbiased fp32 -> bf16 downcast via stochastic rounding.
+
+    Plain bf16 accumulators stall: an increment below ulp/2 of the running
+    value rounds to nothing every step (this is why bf16 Adam ``v`` loses
+    AUC — the (1-b2)*g^2 increments vanish). Adding uniform noise over the
+    truncated 16 mantissa bits before truncating makes the rounding unbiased,
+    so tiny increments land with proportional probability — the same trick
+    TPU embedding hardware uses for bf16 gradient accumulation.
+
+    The noise comes from a murmur-style hash of (flat element index, seed) —
+    a few VPU ops per element, no RNG state, no extra memory traffic, and
+    deterministic given ``seed`` (pass the step counter: same run → same
+    rounding, bitwise-reproducible training).
+    """
+    orig_dtype = x.dtype
+    assert orig_dtype == jnp.float32, orig_dtype
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    idx = jax.lax.iota(jnp.uint32, x.size).reshape(x.shape)
+    h = idx * jnp.uint32(2654435761) + seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    xi = xi + (h & jnp.uint32(0xFFFF))
+    rounded = jax.lax.bitcast_convert_type(xi & jnp.uint32(0xFFFF0000), jnp.float32)
+    return rounded.astype(jnp.bfloat16)
+
+
 def sgd(learning_rate: float = 0.001) -> Optimizer:
     """tf.train.GradientDescentOptimizer."""
 
@@ -49,23 +80,64 @@ def adam(
     beta1: float = 0.9,
     beta2: float = 0.999,
     epsilon: float = 1e-8,
+    slot_dtype=None,
 ) -> Optimizer:
     """tf.train.AdamOptimizer: lr_t = lr*sqrt(1-b2^t)/(1-b1^t);
     p -= lr_t * m / (sqrt(v) + eps). Note eps is added OUTSIDE the
-    bias-corrected sqrt (TF semantics, differs from some Adam variants)."""
+    bias-corrected sqrt (TF semantics, differs from some Adam variants).
+
+    ``slot_dtype`` stores optimizer slots in a reduced dtype while keeping
+    params and all update arithmetic in fp32 — halves the slot memory traffic
+    (the m/v read+write dominates the dense table sweep). Accepts a dtype
+    (both slots) or a {"m": dt, "v": dt} dict with None entries meaning fp32.
+    MEASURED (parity config, 20k steps): m-in-bf16 is AUC-neutral; v-in-bf16
+    LOSES ~0.02 AUC — the per-step (1-b2)*g^2 increment falls below bf16's
+    8-bit mantissa and v stalls. Prefer {"m": bf16} unless the gradient scale
+    has been checked. Default None keeps fp32 slots = exact TF parity."""
+
+    if isinstance(slot_dtype, dict):
+        m_dtype, v_dtype = slot_dtype.get("m"), slot_dtype.get("v")
+    else:
+        m_dtype = v_dtype = slot_dtype
+
+    def storage(dt):
+        return jnp.bfloat16 if dt == BF16_SR else dt
 
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params), "t": jnp.zeros((), jnp.int32)}
+        def zeros(dt):
+            return lambda p: (
+                jnp.zeros_like(p) if dt is None else jnp.zeros_like(p, dtype=storage(dt))
+            )
+
+        return {
+            "m": jax.tree.map(zeros(m_dtype), params),
+            "v": jax.tree.map(zeros(v_dtype), params),
+            "t": jnp.zeros((), jnp.int32),
+        }
+
+    def up(x, dt):
+        return x.astype(jnp.float32) if dt is not None else x
+
+    def down(x, dt, t):
+        if dt == BF16_SR:
+            return stochastic_round_bf16(x, t)
+        return x.astype(dt) if dt is not None else x
 
     def update(grads, state, params):
         t = state["t"] + 1
         tf_ = t.astype(jnp.float32)
         lr_t = learning_rate * jnp.sqrt(1.0 - beta2**tf_) / (1.0 - beta1**tf_)
-        m = jax.tree.map(lambda m_, g: beta1 * m_ + (1 - beta1) * g, state["m"], grads)
-        v = jax.tree.map(lambda v_, g: beta2 * v_ + (1 - beta2) * g * g, state["v"], grads)
+        m = jax.tree.map(
+            lambda m_, g: down(beta1 * up(m_, m_dtype) + (1 - beta1) * g, m_dtype, t),
+            state["m"], grads,
+        )
+        v = jax.tree.map(
+            lambda v_, g: down(beta2 * up(v_, v_dtype) + (1 - beta2) * g * g, v_dtype, t),
+            state["v"], grads,
+        )
         new_params = jax.tree.map(
-            lambda p, m_, v_: p - lr_t * m_ / (jnp.sqrt(v_) + epsilon), params, m, v
+            lambda p, m_, v_: p - lr_t * up(m_, m_dtype) / (jnp.sqrt(up(v_, v_dtype)) + epsilon),
+            params, m, v,
         )
         return new_params, {"m": m, "v": v, "t": t}
 
@@ -199,6 +271,14 @@ _REGISTRY = {
 }
 
 
-def get_optimizer(optimizer_name: str = "Adam", learning_rate: float = 0.001) -> Optimizer:
-    """Name-based factory (ref trainers/model_utils.py:57-66)."""
+def get_optimizer(
+    optimizer_name: str = "Adam", learning_rate: float = 0.001, slot_dtype=None
+) -> Optimizer:
+    """Name-based factory (ref trainers/model_utils.py:57-66).
+
+    ``slot_dtype`` requests reduced-precision optimizer slots (Adam only)."""
+    if slot_dtype is not None:
+        if optimizer_name != "Adam":
+            raise ValueError(f"slot_dtype is only supported for Adam, got {optimizer_name}")
+        return adam(learning_rate=learning_rate, slot_dtype=slot_dtype)
     return _REGISTRY[optimizer_name](learning_rate=learning_rate)

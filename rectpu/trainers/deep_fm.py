@@ -35,7 +35,18 @@ def train_and_evaluate(args):
         use_mf=not args.exclude_mf,
         use_dnn=not args.exclude_dnn,
     )
-    optimizer = get_optimizer(args.optimizer, args.learning_rate)
+    slot_dtype = None
+    if args.optimizer_slot_dtype:
+        import jax.numpy as jnp
+
+        from rectpu.train.optimizers import BF16_SR
+
+        slot_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "bfloat16-m": {"m": jnp.bfloat16},
+            "bfloat16-sr": {"m": jnp.bfloat16, "v": BF16_SR},
+        }[args.optimizer_slot_dtype]
+    optimizer = get_optimizer(args.optimizer, args.learning_rate, slot_dtype=slot_dtype)
     return run(args, model, optimizer)
 
 
@@ -54,6 +65,14 @@ def build_parser() -> ArgumentParser:
                         help="optimizer (default: %(default)s)")
     parser.add_argument("--learning-rate", type=float, default=0.001,
                         help="learning rate (default: %(default)s)")
+    parser.add_argument("--optimizer-slot-dtype", default=None,
+                        choices=[None, "bfloat16", "bfloat16-m", "bfloat16-sr"],
+                        help="reduced-precision Adam slots (fp32 math). 'bfloat16-m': "
+                             "first moment in bf16 (AUC-neutral); 'bfloat16-sr': both "
+                             "moments bf16, v stochastically rounded (unbiased); "
+                             "'bfloat16': both plain bf16 (measured -0.02 AUC at "
+                             "reference config — v increments underflow). "
+                             "default: float32")
     parser.add_argument("--numeric-columns", nargs="*", default=[],
                         help="numeric feature columns fed via the value*vector embedding trick")
     return parser

@@ -83,3 +83,87 @@ def test_per_subtree_routes():
     params, _ = opt.update(grads, state, params)
     assert float(params["linear"]["w"]) == 0.0  # lr 1.0
     assert np.isclose(float(params["deep"]["w"]), 0.9)  # lr 0.1
+
+
+def test_adam_bf16_slots_close_to_fp32():
+    """slot_dtype=bf16 stores m/v in bf16 but keeps fp32 math: trajectories
+    stay within bf16 rounding of the fp32 run, and the state is actually
+    half-width."""
+    rng = np.random.default_rng(0)
+    grads_seq = rng.normal(size=20).astype(np.float32)
+    ref = _run(adam(0.01), list(grads_seq))
+    opt = adam(0.01, slot_dtype=jnp.bfloat16)
+    params = {"w": jnp.asarray(1.0, jnp.float32)}
+    state = opt.init(params)
+    assert state["m"]["w"].dtype == jnp.bfloat16
+    out = []
+    for g in grads_seq:
+        params, state = opt.update({"w": jnp.asarray(g, jnp.float32)}, state, params)
+        out.append(float(params["w"]))
+    assert state["v"]["w"].dtype == jnp.bfloat16
+    # params remain fp32 and track the fp32 trajectory to ~bf16 precision
+    assert params["w"].dtype == jnp.float32
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-3)
+
+
+def test_get_optimizer_slot_dtype_adam_only():
+    import pytest
+
+    assert get_optimizer("Adam", 0.01, slot_dtype=jnp.bfloat16).name == "Adam"
+    with pytest.raises(ValueError):
+        get_optimizer("Ftrl", 0.01, slot_dtype=jnp.bfloat16)
+
+
+def test_adam_per_slot_dtype_dict():
+    """{"m": bf16} keeps v fp32: m stored half-width, trajectory even closer
+    to the fp32 run than all-bf16 slots."""
+    rng = np.random.default_rng(1)
+    grads_seq = rng.normal(size=30).astype(np.float32)
+    ref = _run(adam(0.01), list(grads_seq))
+    opt = adam(0.01, slot_dtype={"m": jnp.bfloat16})
+    params = {"w": jnp.asarray(1.0, jnp.float32)}
+    state = opt.init(params)
+    assert state["m"]["w"].dtype == jnp.bfloat16
+    assert state["v"]["w"].dtype == jnp.float32
+    out = []
+    for g in grads_seq:
+        params, state = opt.update({"w": jnp.asarray(g, jnp.float32)}, state, params)
+        out.append(float(params["w"]))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-3)
+
+
+def test_stochastic_round_bf16_unbiased_and_no_stall():
+    from rectpu.train.optimizers import BF16_SR, stochastic_round_bf16
+
+    # unbiased: averaging many independently-seeded roundings recovers x to
+    # far better than bf16 precision (1.00195 sits between bf16 ulps)
+    x = jnp.full((2048,), 1.00195, jnp.float32)
+    acc = np.zeros(2048, np.float64)
+    for seed in range(64):
+        acc += np.asarray(stochastic_round_bf16(x, jnp.asarray(seed)), np.float64)
+    np.testing.assert_allclose(acc.mean() / 64, 1.00195, atol=2e-4)
+
+    # no stall: adding an increment of ~ulp/8 for 4096 steps must accumulate
+    # (plain bf16 rounds every single add to nothing)
+    inc = 1e-3  # ulp(1.0) in bf16 is 2^-7 = 7.8e-3
+    plain = jnp.asarray(1.0, jnp.bfloat16)
+    sr = jnp.asarray(1.0, jnp.bfloat16)
+    for t in range(4096):
+        plain = (plain.astype(jnp.float32) + inc).astype(jnp.bfloat16)
+        sr = stochastic_round_bf16(sr.astype(jnp.float32) + inc, jnp.asarray(t))
+    assert float(plain) == 1.0  # demonstrates the stall SR fixes
+    assert abs(float(sr) - (1.0 + 4096 * inc)) < 0.3
+
+    # adam with SR v slots: converges like fp32 on a tiny problem
+    rng = np.random.default_rng(2)
+    grads_seq = rng.normal(size=30).astype(np.float32)
+    ref = _run(adam(0.01), list(grads_seq))
+    opt = adam(0.01, slot_dtype={"m": jnp.bfloat16, "v": BF16_SR})
+    params = {"w": jnp.asarray(1.0, jnp.float32)}
+    state = opt.init(params)
+    assert state["v"]["w"].dtype == jnp.bfloat16
+    out = []
+    for g in grads_seq:
+        params, state = opt.update({"w": jnp.asarray(g, jnp.float32)}, state, params)
+        out.append(float(params["w"]))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=5e-3)

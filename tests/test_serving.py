@@ -181,3 +181,29 @@ def test_event_file_readable_by_tensorboard(tmp_path):
             vals = np.array(tensor.float_val)
         counts = vals.reshape(-1, 3)[:, 2]
         assert abs(counts.sum() - 50) < 1e-9
+
+
+def test_serialized_apply_matches_python(export_dir):
+    """The jax.export StableHLO artifact (SavedModel-graph parity) predicts
+    identically to the retraced Python model, at multiple batch sizes (the
+    graph is batch-polymorphic)."""
+    from rectpu.serve.export import load_model
+
+    assert (export_dir / "apply.jaxexport").exists()
+    py = load_model(export_dir)
+    hlo = load_model(export_dir, use_serialized=True)
+    rng = np.random.default_rng(0)
+    for n in (1, 3, 17):
+        feats = {
+            "user_id": rng.integers(0, 1000, n),
+            "item_id": rng.integers(0, 2000, n),
+            "age": rng.integers(10, 70, n),
+            "gender": np.asarray(["F", "M"] * n)[:n],
+            "occupation": np.asarray(["student"] * n),
+            "zipcode": np.asarray(["85711"] * n),
+            "release_year": rng.integers(1930, 1998, n),
+        }
+        a = py.predict(dict(feats))
+        b = hlo.predict(dict(feats))
+        for key in a:
+            np.testing.assert_allclose(a[key], b[key], rtol=1e-6, atol=1e-6)
