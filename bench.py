@@ -88,6 +88,12 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
         compute_dtype="bfloat16",
         table_padding=128,
         packed_linear=True,
+        # bf16 dense table cotangent: halves the scatter/pad/optimizer-read
+        # traffic of the table-grad path (4.54 -> 3.62 ms measured). The
+        # towers already produce bf16 gradients; only the big-field scatter's
+        # (rare-by-construction) collision sums change precision — see
+        # ops/embedding.lookup_split.
+        table_grad_dtype="bfloat16",
     )
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -352,6 +358,7 @@ def main():
             "hidden_units": [256, 128],
             "vocab_rows": 310_497,
             "compute_dtype": "bfloat16",
+            "table_grad_dtype": "bfloat16",
             "optimizer_slot_dtype": {"m": "bfloat16", "v": "bfloat16_sr"},
             "backend": backend,
         },

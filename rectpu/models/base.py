@@ -122,6 +122,11 @@ class TowerConfig:
     # config). Changes the param tree ("table" replaces "emb"+"linear.w"), so
     # it is opt-in; only meaningful for single-optimizer models (DeepFM).
     packed_linear: bool = False
+    # Materialize the dense table cotangent in this dtype ("bfloat16" halves
+    # the scatter/pad/optimizer-read traffic of the table-grad path; see
+    # ops/embedding.lookup_split grad_dtype for the precision contract).
+    # Only affects impl="split". None = fp32 (exact).
+    table_grad_dtype: str | None = None
 
     @property
     def num_fields(self) -> int:
@@ -140,6 +145,10 @@ class TowerConfig:
     @property
     def jnp_compute_dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+    @property
+    def jnp_table_grad_dtype(self):
+        return jnp.bfloat16 if self.table_grad_dtype == "bfloat16" else None
 
 
 def init_linear_tower(cfg: TowerConfig):
@@ -179,7 +188,7 @@ def lookup_fields(table, batch, cfg: TowerConfig, lookup_fn=None):
         field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
         emb = embedding_lookup(
             table, batch["cat_ids"], impl=cfg.embedding_impl, field_info=field_info,
-            gather_dtype=cfg.jnp_compute_dtype,
+            gather_dtype=cfg.jnp_compute_dtype, grad_dtype=cfg.jnp_table_grad_dtype,
         )
     dtype = cfg.jnp_compute_dtype
     return emb.astype(dtype) if dtype is not None else emb

@@ -228,9 +228,9 @@ def _lookup_split_raw(
     return jnp.stack(outs, axis=-2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def lookup_split(table, ids, field_info, small_threshold=4096, small_impl="pallas",
-                 gather_dtype=None):
+                 gather_dtype=None, grad_dtype=None):
     """Split lookup with a custom backward.
 
     The naive autodiff of the split forward routes each small field's table
@@ -245,13 +245,24 @@ def lookup_split(table, ids, field_info, small_threshold=4096, small_impl="palla
     elementwise identical to casting the gathered rows after (what the bf16
     towers do anyway) but halves the gather's memory traffic — measured
     7.5 -> 5.7 ms/step on v5e at the scaled config.
+
+    ``grad_dtype`` (e.g. jnp.bfloat16) materializes the dense table cotangent
+    in that dtype, halving the scatter/pad/optimizer-read traffic of the
+    table-grad path. Collision sums CHANGE precision only for the big hashed
+    fields (their scatter accumulates in grad_dtype; collisions are rare by
+    construction since vocab > small_threshold); small-field sums still
+    reduce in fp32 on the MXU and only the final per-row values round. The
+    returned cotangent is cast back to the table dtype lazily (XLA fuses the
+    upconvert into the optimizer sweep). Default None keeps the fp32 path.
     """
     t = table.astype(gather_dtype) if gather_dtype is not None else table
     return _lookup_split_raw(t, ids, field_info, small_threshold, small_impl)
 
 
-def _lookup_split_fwd(table, ids, field_info, small_threshold, small_impl, gather_dtype):
-    out = lookup_split(table, ids, field_info, small_threshold, small_impl, gather_dtype)
+def _lookup_split_fwd(table, ids, field_info, small_threshold, small_impl, gather_dtype,
+                      grad_dtype):
+    out = lookup_split(table, ids, field_info, small_threshold, small_impl, gather_dtype,
+                       grad_dtype)
     # empty slice = dtype token (residual leaves must be arrays, not dtypes)
     return out, (table.shape[0], table[:0, :0], ids)
 
@@ -275,14 +286,17 @@ def _small_field_runs(field_info, small_threshold):
     return runs, members
 
 
-def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, res, g):
+def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, grad_dtype,
+                      res, g):
     """Split transpose: per-row scatter only for the huge hashed fields.
 
     A single scatter-add over all B*F rows costs ~16 ns/ROW on TPU — 3.4 ms
     of a 5.7 ms step at the scaled config. Small fields' cotangents instead
     reduce on the MXU (one-hot^T matmul -> [rows_in_run, K]) and land as
     contiguous-range adds; the scatter handles only the big fields
-    (3 x B rows instead of F x B). Everything accumulates in fp32.
+    (3 x B rows instead of F x B). Collision sums accumulate in fp32 (MXU
+    reductions always; the big-field scatter too unless ``grad_dtype``
+    narrows the dtable — see lookup_split docstring).
     """
     v, dtype_token, ids = res
     table_dtype = dtype_token.dtype
@@ -292,7 +306,8 @@ def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, res
     big = [f for f in range(f_total) if sizes[f] > small_threshold]
     runs, members = _small_field_runs(field_info, small_threshold)
 
-    dtable = jnp.zeros((v, k), jnp.float32)
+    acc_dtype = grad_dtype if grad_dtype is not None else jnp.float32
+    dtable = jnp.zeros((v, k), acc_dtype)
 
     def field_runs(fields):
         """Group consecutive field indices into [flo, fhi) runs (static).
@@ -322,7 +337,7 @@ def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, res
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [end-start, k]
-        dtable = jax.lax.dynamic_update_slice(dtable, d_run, (start, 0))
+        dtable = jax.lax.dynamic_update_slice(dtable, d_run.astype(acc_dtype), (start, 0))
 
     # big fields: per-run scatter-add (orders of magnitude fewer rows than F*B)
     for flo, fhi in field_runs(big):
@@ -330,7 +345,7 @@ def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, res
         g_r = (
             jax.lax.slice_in_dim(g, flo, fhi, axis=fdim_g)
             .reshape(-1, k)
-            .astype(jnp.float32)
+            .astype(acc_dtype)
         )
         dtable = dtable.at[ids_r].add(g_r)
 
@@ -358,6 +373,7 @@ def embedding_lookup(
     impl: str = "auto",
     field_info: tuple | None = None,
     gather_dtype=None,
+    grad_dtype=None,
 ) -> jax.Array:
     """Lookup rows of ``table`` [V, K] at ``ids`` [...] -> [..., K].
 
@@ -365,6 +381,8 @@ def embedding_lookup(
     of shape [..., F]; other impls accept any id shape. ``gather_dtype``
     (split impl only) casts the table before gathering — halves gather
     traffic for bf16 towers while keeping fp32 scatter accumulation.
+    ``grad_dtype`` (split impl only) narrows the dense table-cotangent
+    materialization (see lookup_split).
     """
     if impl == "auto":
         impl = _AUTO_DEFAULT["tpu" if _on_tpu() else "other"]
@@ -373,6 +391,7 @@ def embedding_lookup(
     if impl == "split":
         if field_info is None:
             raise ValueError("impl='split' requires field_info")
-        return lookup_split(table, ids, field_info, gather_dtype=gather_dtype)
+        return lookup_split(table, ids, field_info, gather_dtype=gather_dtype,
+                            grad_dtype=grad_dtype)
     out = _IMPLS[impl](table, ids)
     return out.astype(gather_dtype) if gather_dtype is not None else out

@@ -9,12 +9,19 @@ locally, and a single psum over 'model' (riding ICI) assembles the full
 reverse path for free: the table cotangent is the local scatter-add psum'd
 over 'data' — exactly the DLRM-style sparse gradient exchange.
 
-For this model family F*K is small (26*4 .. 26*64 floats per example), so the
-masked-gather+psum exchange is bandwidth-cheap; an id-deduplicating all_to_all
-variant is the planned optimization for very wide K (SURVEY.md §7 step 5).
+Three exchange strategies, cheapest-first for this model family:
+  - ``make_ep_lookup``      1D masked-gather + psum (towers replicated on 'model')
+  - ``make_ep_lookup_2d``   2D DLRM: id all_gather + activation reduce_scatter
+  - ``make_ep_lookup_dedup`` 2D with id DEDUP + row all_to_all: exchanges only
+    the unique rows each peer owns — for this schema a batch slice's unique
+    ids are ~8x fewer than its B*F lookups (19 genre fields share 2 rows
+    each), so for wide K this moves ~8x fewer activation bytes over ICI than
+    the reduce_scatter variant (SURVEY.md §2c / §7 step 5).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +63,106 @@ def make_ep_lookup_2d(mesh: Mesh):
         emb = jnp.where(in_range[..., None], emb, jnp.zeros_like(emb))
         # sum partials across table shards AND return this device's batch slice
         return jax.lax.psum_scatter(emb, MODEL_AXIS, scatter_dimension=0, tiled=True)
+
+    def lookup(table, ids):
+        return shard_map(
+            local_lookup,
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
+            out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+        )(table, ids)
+
+    return lookup
+
+
+def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
+    """2D EP lookup exchanging DEDUPLICATED rows via all_to_all.
+
+    The reduce_scatter variant (make_ep_lookup_2d) moves a dense
+    [B/d, F, K] activation block over ICI no matter how redundant the ids
+    are. Here each device instead:
+
+        1. dedups its local [B/dm, F] ids (sort + unique-slot compaction,
+           static shapes);
+        2. buckets unique ids by owning table shard (id // v_shard) into a
+           [M, C] request buffer (C = peer capacity, static);
+        3. all_to_all the requests (cheap ints), local gather on the owner,
+           all_to_all the [M, C, K] rows back;
+        4. expands unique rows to all [B/dm, F] positions with a local gather.
+
+    Exchange volume is unique-rows * K instead of B/dm * F * K — for the
+    ml-100k schema ~8x less (19 genre fields share 2 rows each; the small
+    vocabs collapse to ~150 unique rows per slice). Autodiff reverses the
+    pipeline for free: cotangents dedup-accumulate locally (transpose of the
+    expansion gather), ride the same all_to_all back, and scatter-add into
+    the owning shard — the gradient exchange is deduped too.
+
+    ``peer_capacity``: static per-peer request slots. The default
+    min(N, V/m) (N = B/dm*F local lookups) is PROVABLY lossless — a peer can
+    be asked for at most that many unique rows — so results are exact but
+    the exchange only wins over the dense variant through occupancy, not
+    buffer size. Production deployments should tune it down (e.g. N/8 for
+    this schema); ids beyond a peer's capacity are then DROPPED (zero
+    embedding, zero gradient) — the MoE expert-capacity contract. Tests pin
+    exactness at the default and the zero-fill behavior when starved.
+    """
+
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def local_lookup(table_shard, ids_local):
+        # table_shard: [V/m, K]; ids_local: [B/(d*m), F] of GLOBAL row ids
+        v_shard = table_shard.shape[0]
+        b_loc, f = ids_local.shape
+        n = b_loc * f
+        m_count = n_model
+        cap = peer_capacity if peer_capacity is not None else min(n, v_shard)
+
+        flat = ids_local.reshape(-1).astype(jnp.int32)
+        order = jnp.argsort(flat)
+        sorted_ids = flat[order]
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), sorted_ids[1:] != sorted_ids[:-1]]
+        )
+        uslot = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # sorted pos -> unique slot
+        n_unique = uslot[-1] + 1
+        unique_ids = jnp.zeros((n,), jnp.int32).at[uslot].set(sorted_ids)
+        slot_valid = jnp.arange(n) < n_unique
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(uslot)  # orig pos -> slot
+
+        peer = jnp.where(slot_valid, unique_ids // v_shard, m_count)
+        onehot_p = peer[:, None] == jnp.arange(m_count)[None, :]  # [n, M]
+        pos_in_peer = jnp.sum(
+            jnp.where(onehot_p, jnp.cumsum(onehot_p.astype(jnp.int32), axis=0) - 1, 0),
+            axis=1,
+        )
+        valid_send = slot_valid & (peer < m_count) & (pos_in_peer < cap)
+        addr = peer * cap + pos_in_peer  # [n], into the [M*C] request buffer
+        addr_safe = jnp.where(valid_send, addr, m_count * cap)
+        requests = (
+            jnp.full((m_count * cap,), -1, jnp.int32)
+            .at[addr_safe]
+            .set(unique_ids, mode="drop")
+        )
+
+        req_recv = jax.lax.all_to_all(
+            requests.reshape(m_count, cap), MODEL_AXIS, 0, 0, tiled=False
+        ).reshape(m_count, cap)
+        m = jax.lax.axis_index(MODEL_AXIS)
+        local = req_recv - m * v_shard
+        ok = (local >= 0) & (local < v_shard)
+        resp = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)  # [M, C, K]
+        resp = jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
+        resp_back = jax.lax.all_to_all(resp, MODEL_AXIS, 0, 0, tiled=False).reshape(
+            m_count * cap, -1
+        )
+
+        my_addr = addr[inv]  # [n] buffer slot of each original lookup
+        emb = jnp.where(
+            valid_send[inv][:, None],
+            jnp.take(resp_back, jnp.where(valid_send[inv], my_addr, 0), axis=0),
+            0.0,
+        )
+        return emb.reshape(b_loc, f, -1)
 
     def lookup(table, ids):
         return shard_map(

@@ -18,7 +18,11 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rectpu.parallel.embedding_ep import make_ep_lookup, make_ep_lookup_2d
+from rectpu.parallel.embedding_ep import (
+    make_ep_lookup,
+    make_ep_lookup_2d,
+    make_ep_lookup_dedup,
+)
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 
 
@@ -28,7 +32,10 @@ class ParallelPlan:
     ep: bool  # row-shard embedding tables over 'model'
     lookup_fn: object | None
     table_rows: int | None = None  # padded table row count, the EP key
-    ep_mode: str = "2d"  # "2d": batch over ALL devices (DLRM); "1d": batch over 'data' only
+    # "2d": batch over ALL devices, dense reduce_scatter exchange (DLRM);
+    # "dedup": batch over ALL devices, unique-row all_to_all exchange (wide K);
+    # "1d": batch over 'data' only, masked gather + psum
+    ep_mode: str = "2d"
 
     @classmethod
     def create(
@@ -41,6 +48,8 @@ class ParallelPlan:
             lookup_fn = None
         elif ep_mode == "2d":
             lookup_fn = make_ep_lookup_2d(mesh)
+        elif ep_mode == "dedup":
+            lookup_fn = make_ep_lookup_dedup(mesh)
         else:
             lookup_fn = make_ep_lookup(mesh)
         return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
@@ -48,8 +57,8 @@ class ParallelPlan:
 
     @property
     def _batch_axes(self):
-        # with 2D EP the batch dim spans the whole mesh; otherwise 'data' only
-        if self.ep and self.ep_mode == "2d":
+        # with 2D/dedup EP the batch dim spans the whole mesh; otherwise 'data' only
+        if self.ep and self.ep_mode in ("2d", "dedup"):
             return (DATA_AXIS, MODEL_AXIS)
         return DATA_AXIS
 

@@ -49,10 +49,18 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                         help="FM-cross kernel (default: %(default)s)")
     parser.add_argument("--compute-dtype", default=None, choices=[None, "bfloat16"],
                         help="tower compute dtype (default: float32)")
+    parser.add_argument("--table-grad-dtype", default=None, choices=[None, "bfloat16"],
+                        help="dtype of the dense embedding-table gradient "
+                             "(split lookup only; bfloat16 halves the table-grad "
+                             "path's memory traffic, ~25%% step win at the scaled "
+                             "config; default: float32)")
     parser.add_argument("--num-data-shards", type=int, default=1,
                         help="data-parallel mesh size (1 = single device)")
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="embedding (EP) mesh size (1 = unsharded tables)")
+    parser.add_argument("--ep-mode", default="2d", choices=["1d", "2d", "dedup"],
+                        help="EP exchange: '2d' dense reduce_scatter (DLRM), 'dedup' "
+                             "unique-row all_to_all (wide K), '1d' masked gather+psum")
     parser.add_argument("--autotune", action="store_true",
                         help="benchmark kernel impls at the working shapes and pin winners")
     parser.add_argument("--profile-dir", default=None,
@@ -114,6 +122,7 @@ def build_trainer(args, model, optimizer=None):
             num_data_shards=args.num_data_shards,
             num_model_shards=args.num_model_shards,
             table_rows=model.cfg.padded_buckets,
+            ep_mode=getattr(args, "ep_mode", "2d"),
         )
 
     config = TrainConfig(

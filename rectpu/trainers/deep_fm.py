@@ -28,6 +28,7 @@ def train_and_evaluate(args):
         embedding_impl=args.embedding_impl,
         fm_impl=args.fm_impl,
         compute_dtype=args.compute_dtype,
+        table_grad_dtype=args.table_grad_dtype,
     )
     model = DeepFMModel(
         cfg,

@@ -18,6 +18,7 @@ def train_and_evaluate(args):
         embedding_size=args.embedding_size,
         embedding_impl=args.embedding_impl,
         compute_dtype=args.compute_dtype,
+        table_grad_dtype=args.table_grad_dtype,
     )
     return run(args, LinearModel(cfg))
 

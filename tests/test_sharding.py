@@ -168,7 +168,7 @@ def test_ep2d_lookup_grad_matches_local(rng):
     )
 
 
-@pytest.mark.parametrize("ep_mode", ["1d", "2d"])
+@pytest.mark.parametrize("ep_mode", ["1d", "2d", "dedup"])
 def test_sharded_train_step_both_ep_modes(ep_mode, rng):
     """2x4 mesh, both EP exchanges: identical to the single-device step."""
     nd, nm = 2, 4
@@ -203,3 +203,57 @@ def test_sharded_train_step_both_ep_modes(ep_mode, rng):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
         jax.device_get(p_ref), jax.device_get(p_out),
     )
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_ep_dedup_lookup_matches_local(mesh_shape, rng):
+    from rectpu.parallel.embedding_ep import make_ep_lookup_dedup
+
+    mesh = make_mesh(*mesh_shape)
+    lookup = make_ep_lookup_dedup(mesh)
+    v, k = 512, 8
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    # heavy duplication (ids from a small range) exercises the dedup path
+    ids = jnp.asarray(rng.integers(0, 40, size=(16, 26)).astype(np.int32) * 12)
+    np.testing.assert_allclose(
+        np.asarray(lookup(table, ids)), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+    )
+
+
+def test_ep_dedup_lookup_grad_matches_local(rng):
+    """Gradients dedup-accumulate locally, ride the all_to_all back, and
+    scatter into the owning shard — must equal the plain gather's grad."""
+    from rectpu.parallel.embedding_ep import make_ep_lookup_dedup
+
+    mesh = make_mesh(4, 2)
+    lookup = make_ep_lookup_dedup(mesh)
+    v, k = 256, 4
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, size=(8, 26)).astype(np.int32))
+    w = jnp.asarray(rng.normal(size=(8, 26, k)).astype(np.float32))
+
+    def obj(fn):
+        return jax.grad(lambda t: jnp.sum(w * fn(t, ids)))(table)
+
+    np.testing.assert_allclose(
+        np.asarray(obj(lookup)), np.asarray(obj(lambda t, i: jnp.take(t, i, axis=0))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_ep_dedup_capacity_starved_drops(rng):
+    """peer_capacity=1 cannot carry the requests: dropped ids come back as
+    ZERO embeddings (MoE-capacity contract), never garbage."""
+    from rectpu.parallel.embedding_ep import make_ep_lookup_dedup
+
+    mesh = make_mesh(2, 4)
+    v, k = 512, 8
+    table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32) + 1.0)
+    ids = jnp.asarray(rng.integers(0, v, size=(16, 26)).astype(np.int32))
+    got = np.asarray(make_ep_lookup_dedup(mesh, peer_capacity=1)(table, ids))
+    ref = np.asarray(jnp.take(table, ids, axis=0))
+    # every output row is either exactly right or exactly zero
+    row_ok = np.isclose(got, ref, rtol=1e-6).all(axis=-1)
+    row_zero = (got == 0.0).all(axis=-1)
+    assert np.all(row_ok | row_zero)
+    assert row_zero.any()  # capacity 1 must actually drop something

@@ -102,3 +102,33 @@ def test_split_gather_dtype_bf16(setup):
     assert g.dtype == table.dtype
     counts = np.bincount(np.asarray(ids).ravel(), minlength=table.shape[0])
     np.testing.assert_allclose(np.asarray(g[:, 0]), counts.astype(np.float32), rtol=1e-6)
+
+
+def test_split_grad_dtype_bf16(setup):
+    """grad_dtype=bf16 narrows the dense table cotangent: forward unchanged,
+    gradient returns the table dtype, values within bf16 rounding of the
+    fp32 path (small fields still reduce in fp32 on the matmul)."""
+    table, ids, field_info = setup
+    w = jnp.asarray(
+        np.random.default_rng(6).normal(
+            size=(ids.shape[0], ids.shape[1], table.shape[1])
+        ).astype(np.float32)
+    )
+
+    def grad_of(grad_dtype):
+        return jax.grad(
+            lambda t: jnp.sum(w * lookup_split(
+                t, ids, field_info, 1500, "onehot", None, grad_dtype))
+        )(table)
+
+    g_ref = grad_of(None)
+    g_bf16 = grad_of(jnp.bfloat16)
+    assert g_bf16.dtype == table.dtype
+    np.testing.assert_allclose(
+        np.asarray(g_bf16), np.asarray(g_ref), rtol=2e-2, atol=5e-2
+    )
+    # forward identical regardless of grad_dtype
+    np.testing.assert_array_equal(
+        np.asarray(lookup_split(table, ids, field_info, 1500, "onehot", None, jnp.bfloat16)),
+        np.asarray(lookup_split(table, ids, field_info, 1500, "onehot")),
+    )
