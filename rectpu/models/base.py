@@ -127,6 +127,11 @@ class TowerConfig:
     # ops/embedding.lookup_split grad_dtype for the precision contract).
     # Only affects impl="split". None = fp32 (exact).
     table_grad_dtype: str | None = None
+    # Fields with vocab <= this route through the one-hot MXU path of the
+    # split lookup; larger fields use gather + scatter. 4096 measured best
+    # (raising it to pull the 10k zipcode field off the scatter LOST 3x —
+    # the one-hot reduction cost scales with vocab width).
+    split_threshold: int = 4096
 
     @property
     def num_fields(self) -> int:
@@ -189,6 +194,7 @@ def lookup_fields(table, batch, cfg: TowerConfig, lookup_fn=None):
         emb = embedding_lookup(
             table, batch["cat_ids"], impl=cfg.embedding_impl, field_info=field_info,
             gather_dtype=cfg.jnp_compute_dtype, grad_dtype=cfg.jnp_table_grad_dtype,
+            small_threshold=cfg.split_threshold,
         )
     dtype = cfg.jnp_compute_dtype
     return emb.astype(dtype) if dtype is not None else emb

@@ -120,7 +120,12 @@ def _pallas_fwd(table: jax.Array, flat_ids: jax.Array, tile_r: int, interpret: b
     return out[:r]
 
 
-def _pallas_bwd(v: int, flat_ids: jax.Array, g: jax.Array, tile_r: int, interpret: bool):
+def _pallas_bwd(v: int, flat_ids: jax.Array, g: jax.Array, tile_r: int, interpret: bool,
+                out_dtype=None):
+    """One-hot^T matmul scatter: dtable [v, K] accumulated in VMEM across
+    batch tiles. ``out_dtype`` sets the ACCUMULATION dtype (fp32 keeps
+    collision sums exact even for bf16 cotangents — each tile's contribution
+    is an MXU matmul with fp32 preferred type)."""
     r, k = g.shape
     vp = _round_up(v, 128)
     rp = _round_up(max(r, tile_r), tile_r)
@@ -135,7 +140,7 @@ def _pallas_bwd(v: int, flat_ids: jax.Array, g: jax.Array, tile_r: int, interpre
             pl.BlockSpec((tile_r, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((vp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((vp, k), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((vp, k), out_dtype or g.dtype),
         interpret=interpret,
     )(ids_p, g_p)
     return dtable[:v]
@@ -325,7 +330,12 @@ def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, gra
     fdim_ids = ids.ndim - 1
     fdim_g = g.ndim - 2
 
-    # small fields: per-run one-hot^T matmul reduction + contiguous range write
+    # small fields: per-run one-hot^T matmul reduction + contiguous range
+    # write. MEASURED (v5e, scaled config): the XLA one-hot dot wins — a
+    # Pallas VMEM-resident variant of this reduction regressed the step
+    # 3.6 -> 7.5 ms (sequential grid + small matmuls underuse the MXU), and
+    # raising the threshold so the 10k zipcode field takes this path instead
+    # of the scatter lost 3x more (11.2 ms). Keep the jnp form.
     for flo, fhi in field_runs([m[0] for m in members]):
         start = offsets[flo]
         end = offsets[fhi - 1] + sizes[fhi - 1]
@@ -374,6 +384,7 @@ def embedding_lookup(
     field_info: tuple | None = None,
     gather_dtype=None,
     grad_dtype=None,
+    small_threshold: int = 4096,
 ) -> jax.Array:
     """Lookup rows of ``table`` [V, K] at ``ids`` [...] -> [..., K].
 
@@ -391,7 +402,7 @@ def embedding_lookup(
     if impl == "split":
         if field_info is None:
             raise ValueError("impl='split' requires field_info")
-        return lookup_split(table, ids, field_info, gather_dtype=gather_dtype,
-                            grad_dtype=grad_dtype)
+        return lookup_split(table, ids, field_info, small_threshold=small_threshold,
+                            gather_dtype=gather_dtype, grad_dtype=grad_dtype)
     out = _IMPLS[impl](table, ids)
     return out.astype(gather_dtype) if gather_dtype is not None else out

@@ -167,3 +167,20 @@ def test_loss_reduction_sum_mode(synthetic_dir, tmp_path):
     # Adam is nearly scale-invariant, so sum-mode still converges
     m_sum = mod.train_and_evaluate(args)
     assert np.isfinite(m_sum["average_loss"]) and m_sum["average_loss"] < 2.0
+
+
+def test_reduced_precision_flags_train(synthetic_dir, tmp_path):
+    """--optimizer-slot-dtype / --table-grad-dtype / --ep-mode parse through
+    the real CLI and train to a sane AUC (the precision options must not
+    derail short-horizon learning)."""
+    mod, args = _args(
+        "deep_fm", synthetic_dir, tmp_path, train_steps=800,
+        optimizer_slot_dtype="bfloat16-sr", table_grad_dtype="bfloat16",
+        embedding_impl="split", compute_dtype="bfloat16",
+    )
+    metrics = mod.train_and_evaluate(args)
+    assert metrics["auc"] > 0.55
+
+    ref_mod, ref_args = _args("deep_fm", synthetic_dir, tmp_path, train_steps=800)
+    ref = ref_mod.train_and_evaluate(ref_args)
+    assert abs(metrics["auc"] - ref["auc"]) < 0.05
