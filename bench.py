@@ -94,6 +94,10 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
         # (rare-by-construction) collision sums change precision — see
         # ops/embedding.lookup_split.
         table_grad_dtype="bfloat16",
+        # lane-packed [B, F*K] looked activations: no [B, F, K+1] tile padding,
+        # FM as MXU matmul-reduction, DNN input needs no reshape
+        # (3.76 -> 3.34 ms/step measured).
+        flat_layout=True,
     )
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -360,6 +364,7 @@ def main():
             "compute_dtype": "bfloat16",
             "table_grad_dtype": "bfloat16",
             "optimizer_slot_dtype": {"m": "bfloat16", "v": "bfloat16_sr"},
+            "flat_layout": True,
             "backend": backend,
         },
     }

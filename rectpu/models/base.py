@@ -132,6 +132,12 @@ class TowerConfig:
     # (raising it to pull the 10k zipcode field off the scatter LOST 3x —
     # the one-hot reduction cost scales with vocab width).
     split_threshold: int = 4096
+    # Keep the looked activations LANE-PACKED: [B, F*K] instead of [B, F, K+1]
+    # (which TPU tiling pads ~2.4x). Uses ops/embedding.lookup_flat +
+    # ops/fm.fm_cross_flat; the DNN consumes the flat tensor with no reshape.
+    # DeepFM-only (requires packed_linear, no numeric fields, no custom
+    # lookup_fn); other models ignore it.
+    flat_layout: bool = False
 
     @property
     def num_fields(self) -> int:

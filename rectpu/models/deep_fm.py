@@ -91,6 +91,13 @@ class DeepFMModel:
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
         cfg = self.cfg
+        if (
+            cfg.flat_layout
+            and self.packed
+            and lookup_fn is None
+            and cfg.num_numeric == 0
+        ):
+            return self._apply_flat(params, batch, train=train, rng=rng)
         logits = jnp.zeros((batch["cat_ids"].shape[0],), dtype=jnp.float32)
 
         fuse = (
@@ -106,6 +113,38 @@ class DeepFMModel:
                 looked = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
             logits = logits + self.apply_looked(params, looked, batch, train=train, rng=rng)
 
+        return logits
+
+    def _apply_flat(self, params, batch, train: bool = False, rng=None):
+        """Lane-packed tower math: the looked activations stay [B, F*K].
+
+        Numerically the same model as ``apply`` (same gather values, same FM
+        identity, same MLP weights — the flat tensor IS looked[..., :K]
+        .reshape(B, F*K)); only the reduction orders differ. Avoids the
+        [B, F, K+1] tile padding and the DNN flatten relayout entirely.
+        """
+        from rectpu.ops.embedding import lookup_flat
+        from rectpu.ops.fm import fm_cross_flat
+
+        cfg = self.cfg
+        fs = cfg.feature_set
+        field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+        k = cfg.embedding_size
+        emb_flat, lin = lookup_flat(
+            params["table"], batch["cat_ids"], field_info, k,
+            small_threshold=cfg.split_threshold,
+            gather_dtype=cfg.jnp_compute_dtype,
+            grad_dtype=cfg.jnp_table_grad_dtype,
+        )
+        logits = lin + params["linear"]["b"]
+        if self.use_mf:
+            logits = logits + fm_cross_flat(emb_flat, cfg.num_fields, k)
+        if self.use_dnn:
+            dnn_logit = apply_mlp(
+                params["mlp"], emb_flat, cfg.activation, cfg.dropout, train, rng,
+                compute_dtype=cfg.jnp_compute_dtype,
+            )
+            logits = logits + dnn_logit[:, 0]
         return logits
 
     def augmented_table(self, params):

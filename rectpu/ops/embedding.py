@@ -365,6 +365,173 @@ def _lookup_split_bwd(field_info, small_threshold, small_impl, gather_dtype, gra
 lookup_split.defvjp(_lookup_split_fwd, _lookup_split_bwd)
 
 
+# --- flat (lane-packed) lookup ---------------------------------------------
+
+
+def _flat_partition(field_info, small_threshold):
+    """Static split of fields into small/big with sub-table offsets."""
+    offsets, sizes = field_info
+    f_total = len(sizes)
+    small = [f for f in range(f_total) if sizes[f] <= small_threshold]
+    big = [f for f in range(f_total) if sizes[f] > small_threshold]
+    sub_offs = []
+    total = 0
+    for f in small:
+        sub_offs.append(total)
+        total += sizes[f]
+    return small, big, sub_offs, total
+
+
+def _flat_multihot(ids, field_info, small, sub_offs, total_small, dtype):
+    """[B, S] multi-hot over the concatenated small sub-table id space.
+
+    Row b has one 1 per small field (ranges are disjoint), so a single
+    multihot @ blockdiag matmul yields every small field's embedding at once.
+    """
+    offsets, _ = field_info
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, total_small), 1)
+    mh = jnp.zeros((ids.shape[0], total_small), dtype)
+    for i, f in enumerate(small):
+        local = ids[:, f] - offsets[f] + sub_offs[i]
+        mh = mh + (local[:, None] == iota).astype(dtype)
+    return mh
+
+
+def _flat_blockdiag(table, field_info, small, sub_offs, total_small, k, has_lin):
+    """[S, F*K (+1)] block-diagonal expansion of the small sub-tables.
+
+    Field f's rows occupy columns [f*K, (f+1)*K); the packed linear weight of
+    EVERY small field lands in the shared last column, so the multi-hot matmul
+    emits sum_f w[id_f] there for free. A few hundred KB, rebuilt per step
+    (it is just the parameter content rearranged)."""
+    offsets, sizes = field_info
+    f_total = len(sizes)
+    width = f_total * k + (1 if has_lin else 0)
+    t = jnp.zeros((total_small, width), table.dtype)
+    for i, f in enumerate(small):
+        blk = jax.lax.slice_in_dim(table, offsets[f], offsets[f] + sizes[f])
+        t = jax.lax.dynamic_update_slice(t, blk[:, :k], (sub_offs[i], f * k))
+        if has_lin:
+            t = jax.lax.dynamic_update_slice(t, blk[:, k:k + 1], (sub_offs[i], f_total * k))
+    return t
+
+
+def _lookup_flat_raw(table, ids, field_info, k, small_threshold):
+    """Forward: packed table [V, K(+1)], ids [B, F] ->
+    (emb_flat [B, F*K], lin [B] | None, multihot [B, S] | None)."""
+    offsets, sizes = field_info
+    f_total = len(sizes)
+    b = ids.shape[0]
+    has_lin = table.shape[1] == k + 1
+    small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
+
+    mh = None
+    if small:
+        mh = _flat_multihot(ids, field_info, small, sub_offs, total_small, table.dtype)
+        bd = _flat_blockdiag(table, field_info, small, sub_offs, total_small, k, has_lin)
+        out = jnp.dot(mh, bd, preferred_element_type=jnp.float32).astype(table.dtype)
+    else:
+        out = jnp.zeros((b, f_total * k + (1 if has_lin else 0)), table.dtype)
+
+    lin = out[:, f_total * k].astype(jnp.float32) if has_lin else None
+    emb_flat = out[:, : f_total * k]
+    for f in big:
+        piece = jnp.take(table, ids[:, f], axis=0)  # [B, K(+1)]
+        emb_flat = jax.lax.dynamic_update_slice(emb_flat, piece[:, :k], (0, f * k))
+        if has_lin:
+            lin = lin + piece[:, k].astype(jnp.float32)
+    return emb_flat, lin, mh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=None,
+                grad_dtype=None):
+    """Lane-packed field lookup: [B, F] ids over a packed [V, K+1] table ->
+    (emb_flat [B, F*K], lin_logit [B]).
+
+    The [B, F, K+1] form the split lookup materializes is tile-padded by the
+    TPU layout (26 -> 32 sublanes, 65 -> 128 lanes: ~2.4x physical bytes), and
+    every consumer — FM, the DNN flatten-reshape, the dlooked cotangent —
+    pays it. This op keeps the looked activations FLAT: F*K = 26*64 = 1664 =
+    13 exact lane tiles, no padding anywhere.
+
+      - small fields (vocab <= small_threshold): ONE multihot [B, S] @
+        block-diagonal sub-table [S, F*K+1] MXU matmul produces all their
+        embeddings in their final flat positions AND the summed linear logit
+        (shared last column) in the same pass.
+      - big hashed fields: per-field gather, written into the field's 64-wide
+        column slot.
+
+    Backward mirrors it: dtable for small fields is multihot^T @ [d_emb|d_lin]
+    (fp32 MXU accumulation) + block extraction; big fields scatter-add B rows
+    each, accumulating in ``grad_dtype`` (the lookup_split precision contract).
+
+    ``gather_dtype`` casts the table before use (bf16 halves traffic);
+    ``grad_dtype`` narrows the dense cotangent. Replaces the reference's
+    sparse input_layer/linear_model kernels (/root/reference/trainers/
+    deep_fm.py:37-73) for the flat-layout DeepFM path.
+    """
+    t = table.astype(gather_dtype) if gather_dtype is not None else table
+    emb_flat, lin, _ = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
+    return emb_flat, lin
+
+
+def _lookup_flat_fwd(table, ids, field_info, k, small_threshold, gather_dtype, grad_dtype):
+    t = table.astype(gather_dtype) if gather_dtype is not None else table
+    emb_flat, lin, mh = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
+    # [0, width] slice = dtype AND table-width token (residual leaves must be arrays)
+    return (emb_flat, lin), (table.shape[0], table[:0], ids, mh)
+
+
+def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype, res, cts):
+    v, dtype_token, ids, mh = res
+    d_emb, d_lin = cts
+    offsets, sizes = field_info
+    f_total = len(sizes)
+    width = dtype_token.shape[1]
+    has_lin = width == k + 1
+    small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
+
+    acc_dtype = grad_dtype if grad_dtype is not None else jnp.float32
+    dtable = jnp.zeros((v, width), acc_dtype)
+
+    if small:
+        if has_lin:
+            d_aug = jnp.concatenate(
+                [d_emb, d_lin[:, None].astype(d_emb.dtype)], axis=1
+            )  # [B, F*K+1]
+        else:
+            d_aug = d_emb
+        d_bd = jax.lax.dot_general(
+            mh, d_aug,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, F*K(+1)] — fp32 MXU collision sums (small fields collide often)
+        for i, f in enumerate(small):
+            rows = jax.lax.dynamic_slice(
+                d_bd, (sub_offs[i], f * k), (sizes[f], k)
+            )
+            if has_lin:
+                lin_rows = jax.lax.dynamic_slice(
+                    d_bd, (sub_offs[i], f_total * k), (sizes[f], 1)
+                )
+                rows = jnp.concatenate([rows, lin_rows], axis=1)
+            dtable = jax.lax.dynamic_update_slice(
+                dtable, rows.astype(acc_dtype), (offsets[f], 0)
+            )
+
+    for f in big:
+        g_f = jax.lax.dynamic_slice(d_emb, (0, f * k), (d_emb.shape[0], k))
+        if has_lin:
+            g_f = jnp.concatenate([g_f, d_lin[:, None].astype(g_f.dtype)], axis=1)
+        dtable = dtable.at[ids[:, f]].add(g_f.astype(acc_dtype))
+
+    return dtable.astype(dtype_token.dtype), None
+
+
+lookup_flat.defvjp(_lookup_flat_fwd, _lookup_flat_bwd)
+
+
 # --- dispatcher -----------------------------------------------------------
 
 _IMPLS = {"take": lookup_take, "onehot": lookup_onehot, "pallas": lookup_pallas}

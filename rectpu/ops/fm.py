@@ -87,6 +87,50 @@ def _fm_matmul_bwd(res, g):
 fm_cross_matmul.defvjp(_fm_matmul_fwd, _fm_matmul_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fm_cross_flat(v2: jax.Array, f: int, k: int) -> jax.Array:
+    """FM identity on a LANE-PACKED input: v2 [B, F*K] -> [B] fp32.
+
+    Same math as fm_cross_xla on v2.reshape(B, F, K), but the field reduction
+    is an MXU matmul against the [F*K, K] stacked-identity matrix and no
+    [B, F, K] tensor ever exists: F*K (= 26*64 = 1664 = 13 lane tiles) is
+    exactly tiled, where the 3D form pads 26 -> 32 sublanes and K -> 128
+    lanes (~2.4x physical traffic). Earlier flat-FM attempts fed a RESHAPE of
+    the 3D lookup and lost to the relayout copy (RESULTS.md); this op is for
+    producers that emit flat natively (ops/embedding.lookup_flat). Backward is
+    the closed form dv = g * (S - v), with S re-broadcast by the transpose
+    matmul. Reference math: /root/reference/trainers/deep_fm.py:79-90.
+    """
+    out, _ = _fm_flat_fwd_impl(v2, f, k)
+    return out
+
+
+def _fm_flat_fwd_impl(v2, f, k):
+    a = _field_sum_matrix(f, k, v2.dtype)
+    s = jnp.dot(v2, a, preferred_element_type=jnp.float32)  # [B, K] fp32
+    sum_square = jnp.sum(jnp.square(s), axis=-1)
+    v32 = v2.astype(jnp.float32) if v2.dtype != jnp.float32 else v2
+    square_sum = jnp.sum(jnp.square(v32), axis=-1)
+    return 0.5 * (sum_square - square_sum), s
+
+
+def _fm_flat_fwd(v2, f, k):
+    out, s = _fm_flat_fwd_impl(v2, f, k)
+    return out, (v2, s.astype(v2.dtype))
+
+
+def _fm_flat_bwd(f, k, res, g):
+    v2, s = res
+    s_tiled = jnp.dot(
+        s, _field_sum_matrix(f, k, s.dtype).T, preferred_element_type=jnp.float32
+    ).astype(v2.dtype)  # [B, F*K]
+    dv2 = g[:, None].astype(v2.dtype) * (s_tiled - v2)
+    return (dv2,)
+
+
+fm_cross_flat.defvjp(_fm_flat_fwd, _fm_flat_bwd)
+
+
 def _fm_fwd_kernel(v_ref, out_ref):
     v = v_ref[:].astype(jnp.float32)
     s = jnp.sum(v, axis=1)  # [TB, K]

@@ -29,6 +29,8 @@ def train_and_evaluate(args):
         fm_impl=args.fm_impl,
         compute_dtype=args.compute_dtype,
         table_grad_dtype=args.table_grad_dtype,
+        packed_linear=args.packed_linear or args.flat_layout,
+        flat_layout=args.flat_layout,
     )
     model = DeepFMModel(
         cfg,
@@ -76,6 +78,14 @@ def build_parser() -> ArgumentParser:
                              "default: float32")
     parser.add_argument("--numeric-columns", nargs="*", default=[],
                         help="numeric feature columns fed via the value*vector embedding trick")
+    parser.add_argument("--packed-linear", action="store_true",
+                        help="store the fused [V, K+1] embedding+linear table as one "
+                             "parameter (skips the per-step concat)")
+    parser.add_argument("--flat-layout", action="store_true",
+                        help="lane-packed [B, F*K] looked activations (implies "
+                             "--packed-linear): avoids the [B, F, K+1] tile padding "
+                             "(~12%% step win at the scaled config); incompatible "
+                             "with --numeric-columns and sharded lookups")
     return parser
 
 
