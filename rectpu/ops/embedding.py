@@ -520,11 +520,20 @@ def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype, r
                 dtable, rows.astype(acc_dtype), (offsets[f], 0)
             )
 
-    for f in big:
-        g_f = jax.lax.dynamic_slice(d_emb, (0, f * k), (d_emb.shape[0], k))
-        if has_lin:
-            g_f = jnp.concatenate([g_f, d_lin[:, None].astype(g_f.dtype)], axis=1)
-        dtable = dtable.at[ids[:, f]].add(g_f.astype(acc_dtype))
+    if big:
+        # ONE scatter over the concatenated (ids, grads) of all big fields.
+        # Measured vs per-field sequential scatters at the scaled config:
+        # 3.323 vs 3.336 ms/step — XLA already chains the per-field scatter
+        # fusions without re-sweeping the table, so this is parity, kept for
+        # the single-HLO form (one scatter regardless of field count).
+        g_parts, id_parts = [], []
+        for f in big:
+            g_f = jax.lax.dynamic_slice(d_emb, (0, f * k), (d_emb.shape[0], k))
+            if has_lin:
+                g_f = jnp.concatenate([g_f, d_lin[:, None].astype(g_f.dtype)], axis=1)
+            g_parts.append(g_f.astype(acc_dtype))
+            id_parts.append(ids[:, f])
+        dtable = dtable.at[jnp.concatenate(id_parts)].add(jnp.concatenate(g_parts))
 
     return dtable.astype(dtype_token.dtype), None
 
