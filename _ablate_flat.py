@@ -16,12 +16,13 @@ from rectpu.train.metrics import sigmoid_xent
 from rectpu.train.optimizers import BF16_SR, adam
 
 
-def run(flat: bool, batch=8192, steps=60):
+def run(flat: bool, batch=8192, steps=60, scatter="xla"):
     fs = scaled_feature_set()
     cfg = TowerConfig(
         feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
-        compute_dtype="bfloat16", table_padding=128, packed_linear=True,
-        table_grad_dtype="bfloat16", flat_layout=flat,
+        compute_dtype="bfloat16", table_padding=2048 if scatter == "mxu" else 128,
+        packed_linear=True, table_grad_dtype="bfloat16", flat_layout=flat,
+        scatter_impl=scatter,
     )
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -58,7 +59,7 @@ def run(flat: bool, batch=8192, steps=60):
     jax.block_until_ready(loss)
     dt = time.time() - t0
     ms = 1e3 * dt / steps
-    print(f"flat={flat}: {ms:.3f} ms/step  {steps*batch/dt:,.0f} ex/s  loss={float(loss):.4f}")
+    print(f"flat={flat} scatter={scatter}: {ms:.3f} ms/step  {steps*batch/dt:,.0f} ex/s  loss={float(loss):.4f}")
     return ms
 
 
@@ -68,3 +69,5 @@ if __name__ == "__main__":
         run(False)
     if which in ("flat", "both"):
         run(True)
+    if which == "mxu":
+        run(True, scatter="mxu")

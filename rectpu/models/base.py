@@ -138,6 +138,12 @@ class TowerConfig:
     # DeepFM-only (requires packed_linear, no numeric fields, no custom
     # lookup_fn); other models ignore it.
     flat_layout: bool = False
+    # How the flat-layout backward builds the dense table cotangent:
+    # "xla" = serial scatter-add; "mxu" = sorted one-hot-matmul rebuild
+    # (ops/scatter_rows) — XLA's scatter serializes ~45 ns/row and is the
+    # hottest op of the flat train step. Size tables with table_padding=2048
+    # when using "mxu" so the tile grid divides the table exactly.
+    scatter_impl: str = "xla"
 
     @property
     def num_fields(self) -> int:

@@ -135,6 +135,7 @@ class DeepFMModel:
             small_threshold=cfg.split_threshold,
             gather_dtype=cfg.jnp_compute_dtype,
             grad_dtype=cfg.jnp_table_grad_dtype,
+            scatter_impl=cfg.scatter_impl,
         )
         logits = lin + params["linear"]["b"]
         if self.use_mf:

@@ -443,9 +443,9 @@ def _lookup_flat_raw(table, ids, field_info, k, small_threshold):
     return emb_flat, lin, mh
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=None,
-                grad_dtype=None):
+                grad_dtype=None, scatter_impl="xla"):
     """Lane-packed field lookup: [B, F] ids over a packed [V, K+1] table ->
     (emb_flat [B, F*K], lin_logit [B]).
 
@@ -470,20 +470,31 @@ def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=No
     ``grad_dtype`` narrows the dense cotangent. Replaces the reference's
     sparse input_layer/linear_model kernels (/root/reference/trainers/
     deep_fm.py:37-73) for the flat-layout DeepFM path.
+
+    ``scatter_impl``: how the backward builds the dense table cotangent.
+    "xla" = zeros + dynamic_update_slice blocks + serial scatter-add;
+    "mxu" = ops/scatter_rows.scatter_rows_dense — small-field block rows and
+    big-field gradient rows merge into ONE sorted update stream rebuilt by
+    per-tile one-hot MXU matmuls (XLA's serial scatter costs ~45 ns/row,
+    the dominant op of the flat train step).
     """
     t = table.astype(gather_dtype) if gather_dtype is not None else table
     emb_flat, lin, _ = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
     return emb_flat, lin
 
 
-def _lookup_flat_fwd(table, ids, field_info, k, small_threshold, gather_dtype, grad_dtype):
+def _lookup_flat_fwd(table, ids, field_info, k, small_threshold, gather_dtype, grad_dtype,
+                     scatter_impl):
     t = table.astype(gather_dtype) if gather_dtype is not None else table
     emb_flat, lin, mh = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
     # [0, width] slice = dtype AND table-width token (residual leaves must be arrays)
     return (emb_flat, lin), (table.shape[0], table[:0], ids, mh)
 
 
-def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype, res, cts):
+def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype,
+                     scatter_impl, res, cts):
+    if scatter_impl == "mxu":
+        return _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, res, cts)
     v, dtype_token, ids, mh = res
     d_emb, d_lin = cts
     offsets, sizes = field_info
@@ -535,6 +546,74 @@ def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype, r
             id_parts.append(ids[:, f])
         dtable = dtable.at[jnp.concatenate(id_parts)].add(jnp.concatenate(g_parts))
 
+    return dtable.astype(dtype_token.dtype), None
+
+
+def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, res, cts):
+    """Flat-lookup backward via the MXU row-scatter (ops/scatter_rows).
+
+    Same math as the XLA path, different dense-grad construction: the
+    small-field block rows (from the multihot^T matmul) and the big-field
+    per-example gradient rows merge into ONE (ids, updates) stream;
+    scatter_rows_dense sorts it and rebuilds the [V, K+1] cotangent with
+    per-tile one-hot matmuls. No zeros+block-write pass, no serial scatter.
+    Collisions accumulate in fp32 on the MXU for BOTH field classes (the XLA
+    path's big-field scatter accumulates in grad_dtype)."""
+    from rectpu.ops.scatter_rows import scatter_rows_dense
+
+    v, dtype_token, ids, mh = res
+    d_emb, d_lin = cts
+    offsets, sizes = field_info
+    f_total = len(sizes)
+    width = dtype_token.shape[1]
+    has_lin = width == k + 1
+    small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
+
+    acc_dtype = grad_dtype if grad_dtype is not None else jnp.float32
+    b = d_emb.shape[0]
+    id_parts, g_parts = [], []
+
+    if small:
+        if has_lin:
+            d_aug = jnp.concatenate(
+                [d_emb, d_lin[:, None].astype(d_emb.dtype)], axis=1
+            )  # [B, F*K+1]
+        else:
+            d_aug = d_emb
+        d_bd = jax.lax.dot_general(
+            mh, d_aug,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, F*K(+1)] fp32
+        for i, f in enumerate(small):
+            rows = jax.lax.dynamic_slice(d_bd, (sub_offs[i], f * k), (sizes[f], k))
+            if has_lin:
+                lin_rows = jax.lax.dynamic_slice(
+                    d_bd, (sub_offs[i], f_total * k), (sizes[f], 1)
+                )
+                rows = jnp.concatenate([rows, lin_rows], axis=1)
+            id_parts.append(
+                jnp.arange(offsets[f], offsets[f] + sizes[f], dtype=jnp.int32)
+            )
+            g_parts.append(rows)
+
+    for f in big:
+        g_f = jax.lax.dynamic_slice(d_emb, (0, f * k), (b, k))
+        if has_lin:
+            g_f = jnp.concatenate([g_f, d_lin[:, None].astype(g_f.dtype)], axis=1)
+        id_parts.append(ids[:, f])
+        g_parts.append(g_f)
+
+    if not id_parts:
+        dtable = jnp.zeros((v, width), dtype_token.dtype)
+        return dtable, None
+
+    cat_dtype = acc_dtype if grad_dtype is not None else jnp.float32
+    all_ids = jnp.concatenate(id_parts)
+    all_g = jnp.concatenate([p.astype(cat_dtype) for p in g_parts])
+    dtable = scatter_rows_dense(
+        all_ids, all_g, v, out_dtype=acc_dtype, interpret=not _on_tpu()
+    )
     return dtable.astype(dtype_token.dtype), None
 
 

@@ -1,0 +1,138 @@
+"""MXU row-scatter: dense [V, W] = zeros.at[ids].add(updates), built for TPU.
+
+XLA's TPU scatter emitter serializes random row updates at ~45 ns/row
+(profiled: 1.11 ms for 24576x65 bf16 rows into a [310144, 65] table — the
+single hottest op of the flat DeepFM train step). This op rebuilds the same
+dense gradient at near-roofline by turning the scatter into per-tile MXU
+matmuls:
+
+  1. sort the updates by destination row (one bitonic key/payload sort),
+  2. split the sorted stream into segments per TR-row table tile
+     (``searchsorted`` on the tile boundaries -> scalar-prefetched offsets),
+  3. each grid step builds a local one-hot [C, TR] of its segment's rows and
+     writes out_tile = onehot^T @ updates_segment — collisions sum in fp32 on
+     the MXU (strictly better than the bf16 serial scatter it replaces).
+
+Capacity contract: a tile holding more than ``capacity`` updates cannot be
+expressed in the static [C, TR] one-hot, so the wrapper computes the max
+segment length and falls back to XLA's (sorted) scatter via ``lax.cond`` —
+bit-correct always, fast on the overwhelmingly common uniform-hash path.
+Replaces the big-field gradient scatter of the reference's sparse
+``input_layer``/``linear_model`` backward (/root/reference/trainers/
+deep_fm.py:37-73); see ops/embedding._lookup_flat_bwd for the call site.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref, *, tr: int, c: int):
+    """out tile [TR, W] = onehot(segment rows)^T @ segment updates."""
+    i = pl.program_id(0)
+    start = starts_ref[i]
+    count = starts_ref[i + 1] - start
+    # dynamic sublane slices want 8-aligned starts: widen the window by 8
+    # and shift the validity mask instead
+    a_start = (start // 8) * 8
+    off = start - a_start
+    ids_blk = ids_ref[pl.ds(a_start, c + 8), :]  # [C+8, 1] int32
+    upd_blk = upd_ref[pl.ds(a_start, c + 8), :]  # [C+8, W]
+    local = ids_blk - i * tr
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c + 8, tr), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c + 8, tr), 0)
+    valid = (j >= off) & (j < off + count)
+    onehot = jnp.where((rows == local) & valid, 1, 0).astype(upd_ref.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        onehot, upd_blk,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("v_rows", "tile_rows", "capacity", "out_dtype", "interpret"),
+)
+def scatter_rows_dense(
+    ids: jax.Array,
+    updates: jax.Array,
+    v_rows: int,
+    *,
+    tile_rows: int = 2048,
+    capacity: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Return ``zeros([v_rows, W], out_dtype).at[ids].add(updates)``.
+
+    ids [R] int32 in [0, v_rows); updates [R, W]. Rows collide freely.
+    ``tile_rows`` should divide v_rows (a padded output is sliced otherwise —
+    one extra copy; size embedding tables with table_padding=tile_rows to
+    stay on the fast path). fp32 collision accumulation regardless of dtype.
+    """
+    r, w = updates.shape
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else updates.dtype
+    tr, c = tile_rows, capacity
+    v_pad = _round_up(v_rows, tr)
+    g = v_pad // tr
+
+    ids_s, order = jax.lax.sort_key_val(ids, jnp.arange(r, dtype=jnp.int32))
+    upd_s = jnp.take(updates, order, axis=0)
+    # per-tile segment starts: histogram + exclusive cumsum (a vectorized
+    # searchsorted — XLA lowers jnp.searchsorted to a 15-iteration while
+    # loop costing ~2x the sort itself at this size)
+    tile_of = ids_s // tr  # sorted
+    counts = jnp.sum(
+        tile_of[None, :] == jnp.arange(g, dtype=jnp.int32)[:, None], axis=1
+    ).astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    max_count = jnp.max(counts)
+
+    # window reads go up to start + C + 8 with start <= R
+    pad_rows = c + 8
+    sentinel = jnp.iinfo(jnp.int32).max // 2  # matches no tile
+    ids_p = jnp.pad(ids_s, (0, pad_rows), constant_values=sentinel).reshape(-1, 1)
+    upd_p = jnp.pad(upd_s, ((0, pad_rows), (0, 0)))
+
+    def pallas_path(args):
+        ids_p, upd_p, starts = args
+        return pl.pallas_call(
+            functools.partial(_scatter_tile_kernel, tr=tr, c=c),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(g,),
+                in_specs=[
+                    pl.BlockSpec(ids_p.shape, lambda i, s: (0, 0)),
+                    pl.BlockSpec(upd_p.shape, lambda i, s: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((tr, w), lambda i, s: (i, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((v_pad, w), out_dtype),
+            interpret=interpret,
+        )(starts, ids_p, upd_p)
+
+    def fallback_path(args):
+        ids_p, upd_p, _ = args
+        # accumulate in out_dtype (the XLA-scatter contract this op replaces)
+        # rather than fp32, so the cond branch adds no extra peak memory
+        dense = jnp.zeros((v_pad, w), out_dtype)
+        return dense.at[ids_p[:r, 0]].add(
+            upd_p[:r].astype(out_dtype), indices_are_sorted=True
+        )
+
+    out = jax.lax.cond(
+        max_count <= c, pallas_path, fallback_path, (ids_p, upd_p, starts)
+    )
+    return out if v_pad == v_rows else out[:v_rows]

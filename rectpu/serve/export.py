@@ -182,12 +182,14 @@ class ServingModel:
             }
             jax.block_until_ready(self._apply(self.params, batch))
 
-    def predict(self, features: dict) -> dict:
-        """Predict from the reference serving schema (raw feature arrays).
+    def encode_request(self, features: dict) -> dict:
+        """Validate + encode raw serving features to dense model arrays.
 
         Required keys: user_id, item_id, age, gender, occupation, zipcode,
         release_year. The 19 genre flags are optional and default to 0
-        (ref trainers/ml_100k.py:64-88).
+        (ref trainers/ml_100k.py:64-88). Returns ``{"cat_ids": [n, F] int32,
+        "num_vals": [n, num_numeric] float32}`` — CPU work, safe to run
+        concurrently from request threads (see serve.batching).
         """
         missing = [k for k in SERVING_REQUIRED if k not in features]
         if missing:
@@ -209,7 +211,11 @@ class ServingModel:
         batch = {k: np.asarray(v) for k, v in batch.items()}
         if "num_vals" not in batch:
             batch["num_vals"] = np.zeros((n, 0), np.float32)
-        # pad to the bucket size; slice padding back off the outputs
+        return batch
+
+    def apply_encoded(self, batch: dict, n: int) -> dict:
+        """Run the jitted apply on an encoded batch of n real rows,
+        bucket-padding and slicing the padding back off the outputs."""
         b = self._bucket(n)
         if b > n:
             batch = {
@@ -218,6 +224,11 @@ class ServingModel:
             }
         out = self._apply(self.params, batch)
         return {k: np.asarray(v)[:n] for k, v in jax.device_get(out).items()}
+
+    def predict(self, features: dict) -> dict:
+        """Predict from the reference serving schema (raw feature arrays)."""
+        batch = self.encode_request(features)
+        return self.apply_encoded(batch, batch["cat_ids"].shape[0])
 
 
 def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingModel:

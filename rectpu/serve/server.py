@@ -88,7 +88,8 @@ def make_handler(served):
 
 def serve(job_dir: str | None = None, export_dir: str | None = None,
           host: str = "127.0.0.1", port: int = 8080, use_serialized: bool = False,
-          compilation_cache_dir: str | None = "/tmp/jax_cache"):
+          compilation_cache_dir: str | None = "/tmp/jax_cache",
+          batch_window_ms: float = 2.0):
     if compilation_cache_dir:
         # persistent XLA cache: without it every server start recompiles the
         # predict buckets (minutes over a remote-compile TPU tunnel)
@@ -108,6 +109,13 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
     logger.info("warming up predict compile...")
     served.warmup(sizes=(1, 2, 8, 64, 512))
     logger.info("warmup done")
+    if batch_window_ms > 0:
+        # coalesce concurrent requests into one device dispatch (ML-Engine
+        # server-side batching parity); the handler only needs .predict()
+        from rectpu.serve.batching import MicroBatcher
+
+        served = MicroBatcher(served, max_delay_ms=batch_window_ms)
+        logger.info("request micro-batching on (window %.1f ms)", batch_window_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(served))
     logger.info("listening on http://%s:%d/predict", host, port)
     httpd.serve_forever()
@@ -125,6 +133,10 @@ if __name__ == "__main__":
                          "instead of retracing the Python model")
     ap.add_argument("--compilation-cache-dir", default="/tmp/jax_cache",
                     help="persistent XLA compilation cache ('' disables)")
+    ap.add_argument("--batch-window-ms", type=float, default=2.0,
+                    help="coalesce concurrent requests into one device call, "
+                         "waiting up to this long to fill a batch (0 disables)")
     a = ap.parse_args()
     serve(a.job_dir, a.export_dir, a.host, a.port, use_serialized=a.serialized,
-          compilation_cache_dir=a.compilation_cache_dir)
+          compilation_cache_dir=a.compilation_cache_dir,
+          batch_window_ms=a.batch_window_ms)

@@ -31,6 +31,8 @@ def train_and_evaluate(args):
         table_grad_dtype=args.table_grad_dtype,
         packed_linear=args.packed_linear or args.flat_layout,
         flat_layout=args.flat_layout,
+        scatter_impl=args.scatter_impl,
+        table_padding=2048 if args.scatter_impl == "mxu" else 128,
     )
     model = DeepFMModel(
         cfg,
@@ -86,6 +88,11 @@ def build_parser() -> ArgumentParser:
                              "--packed-linear): avoids the [B, F, K+1] tile padding "
                              "(~12%% step win at the scaled config); incompatible "
                              "with --numeric-columns and sharded lookups")
+    parser.add_argument("--scatter-impl", choices=["xla", "mxu"], default="xla",
+                        help="flat-layout table-cotangent builder: 'mxu' rebuilds "
+                             "the dense grad with sorted one-hot MXU matmuls "
+                             "(ops/scatter_rows) instead of XLA's serial scatter; "
+                             "sets table_padding=2048 for an exact tile grid")
     return parser
 
 

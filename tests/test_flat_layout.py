@@ -58,7 +58,8 @@ def test_flat_forward_unpacked_table(setup):
 
 
 @pytest.mark.parametrize("threshold", [60, 1500])
-def test_flat_grad_matches_take(setup, threshold):
+@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
+def test_flat_grad_matches_take(setup, threshold, scatter_impl):
     """d table through the flat path == d table through plain gather."""
     fs, table, ids, field_info, k = setup
     b, f = ids.shape
@@ -67,7 +68,8 @@ def test_flat_grad_matches_take(setup, threshold):
     w_lin = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
 
     def flat_obj(t):
-        emb_flat, lin = lookup_flat(t, ids, field_info, k, small_threshold=threshold)
+        emb_flat, lin = lookup_flat(t, ids, field_info, k, small_threshold=threshold,
+                                    scatter_impl=scatter_impl)
         return jnp.sum(w_emb * emb_flat) + jnp.sum(w_lin * lin)
 
     def ref_obj(t):
@@ -109,7 +111,8 @@ def _batch(fs, b, seed):
 
 
 @pytest.mark.parametrize("toggles", [(True, True), (True, False), (False, True)])
-def test_deepfm_flat_matches_standard(setup, toggles):
+@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
+def test_deepfm_flat_matches_standard(setup, toggles, scatter_impl):
     """Full model: flat_layout logits and table grads match the 3D path."""
     use_mf, use_dnn = toggles
     fs = ml_100k_feature_set()
@@ -118,7 +121,7 @@ def test_deepfm_flat_matches_standard(setup, toggles):
         packed_linear=True, split_threshold=1500,
     )
     cfg_std = TowerConfig(**kwargs)
-    cfg_flat = TowerConfig(flat_layout=True, **kwargs)
+    cfg_flat = TowerConfig(flat_layout=True, scatter_impl=scatter_impl, **kwargs)
     m_std = DeepFMModel(cfg_std, use_mf=use_mf, use_dnn=use_dnn)
     m_flat = DeepFMModel(cfg_flat, use_mf=use_mf, use_dnn=use_dnn)
     params = m_std.init(jax.random.PRNGKey(0))

@@ -1,0 +1,72 @@
+"""MXU row-scatter (ops/scatter_rows) vs reference scatter-add."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rectpu.ops.scatter_rows import scatter_rows_dense
+
+
+def _ref(ids, updates, v):
+    out = np.zeros((v, updates.shape[1]), np.float32)
+    np.add.at(out, ids, updates.astype(np.float32))
+    return out
+
+
+@pytest.mark.parametrize("v,r,w,tr,c", [
+    (4096, 600, 65, 512, 128),     # tr divides v
+    (4100, 600, 65, 512, 128),     # padded-v slice path
+    (1024, 2000, 16, 256, 640),    # heavy collisions, capacity ample
+    (512, 64, 8, 128, 128),        # tiny
+])
+def test_matches_reference(v, r, w, tr, c):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, v, r).astype(np.int32)
+    upd = rng.standard_normal((r, w)).astype(np.float32)
+    got = scatter_rows_dense(
+        jnp.asarray(ids), jnp.asarray(upd), v, tile_rows=tr, capacity=c,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), _ref(ids, upd, v), rtol=1e-5, atol=1e-5)
+
+
+def test_capacity_overflow_falls_back_exactly():
+    """All ids in one tile >> capacity: cond must take the XLA scatter branch
+    and still be exact."""
+    v, r, w = 2048, 900, 32
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 100, r).astype(np.int32)  # all in tile 0
+    upd = rng.standard_normal((r, w)).astype(np.float32)
+    got = scatter_rows_dense(
+        jnp.asarray(ids), jnp.asarray(upd), v, tile_rows=512, capacity=64,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), _ref(ids, upd, v), rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_updates_accumulate_fp32():
+    """Collisions sum in fp32 even for bf16 updates (better than a bf16
+    serial scatter): 256 collisions of 1.0 must give exactly 256."""
+    v, r, w = 512, 256, 8
+    ids = np.zeros(r, np.int32)
+    upd = np.ones((r, w), np.float32)
+    got = scatter_rows_dense(
+        jnp.asarray(ids), jnp.asarray(upd, np.float32).astype(jnp.bfloat16), v,
+        tile_rows=128, capacity=512, interpret=True, out_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got)[0], np.full(w, 256.0))
+    assert np.all(np.asarray(got)[1:] == 0)
+
+
+def test_unsorted_duplicate_boundary_ids():
+    """Ids exactly on tile boundaries, duplicated, reverse-sorted input."""
+    v, w, tr = 1024, 4, 256
+    ids = np.array([768, 512, 512, 256, 255, 0, 0, 1023], np.int32)
+    upd = np.arange(8 * w, dtype=np.float32).reshape(8, w)
+    got = scatter_rows_dense(
+        jnp.asarray(ids), jnp.asarray(upd), v, tile_rows=tr, capacity=16,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), _ref(ids, upd, v), rtol=1e-6)
