@@ -17,8 +17,9 @@ from rectpu.train.optimizers import BF16_SR, adam
 fs = scaled_feature_set()
 cfg = TowerConfig(
     feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
-    compute_dtype="bfloat16", table_padding=128, packed_linear=True,
+    compute_dtype="bfloat16", packed_linear=True,
     table_grad_dtype="bfloat16", flat_layout=True,
+    scatter_impl="mxu", table_padding=2048,
 )
 model = DeepFMModel(cfg)
 params = model.init(jax.random.PRNGKey(0))

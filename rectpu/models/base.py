@@ -144,6 +144,11 @@ class TowerConfig:
     # hottest op of the flat train step. Size tables with table_padding=2048
     # when using "mxu" so the tile grid divides the table exactly.
     scatter_impl: str = "xla"
+    # scatter_impl="mxu" only: big fields at most this large are rebuilt by a
+    # direct per-field one-hot matmul instead of joining the scatter_rows
+    # stream — their B gradient rows land in a handful of table tiles and
+    # would overflow the Pallas per-tile capacity (forcing its slow fallback).
+    mxu_dense_threshold: int = 16384
 
     @property
     def num_fields(self) -> int:

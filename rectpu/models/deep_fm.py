@@ -136,6 +136,7 @@ class DeepFMModel:
             gather_dtype=cfg.jnp_compute_dtype,
             grad_dtype=cfg.jnp_table_grad_dtype,
             scatter_impl=cfg.scatter_impl,
+            dense_threshold=cfg.mxu_dense_threshold,
         )
         logits = lin + params["linear"]["b"]
         if self.use_mf:

@@ -443,9 +443,9 @@ def _lookup_flat_raw(table, ids, field_info, k, small_threshold):
     return emb_flat, lin, mh
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=None,
-                grad_dtype=None, scatter_impl="xla"):
+                grad_dtype=None, scatter_impl="xla", dense_threshold=16384):
     """Lane-packed field lookup: [B, F] ids over a packed [V, K+1] table ->
     (emb_flat [B, F*K], lin_logit [B]).
 
@@ -473,10 +473,19 @@ def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=No
 
     ``scatter_impl``: how the backward builds the dense table cotangent.
     "xla" = zeros + dynamic_update_slice blocks + serial scatter-add;
-    "mxu" = ops/scatter_rows.scatter_rows_dense — small-field block rows and
-    big-field gradient rows merge into ONE sorted update stream rebuilt by
-    per-tile one-hot MXU matmuls (XLA's serial scatter costs ~45 ns/row,
-    the dominant op of the flat train step).
+    "mxu" = MXU rebuild, with big fields further split by ``dense_threshold``:
+      - dense-medium fields (small_threshold < size <= dense_threshold): their
+        B gradient rows concentrate in a handful of table tiles (e.g. 8192
+        rows into zipcode's 10k-row range ~ 1.6k rows/tile), which overflows
+        the scatter_rows per-tile capacity — instead each field's table slice
+        is rebuilt directly as a fused one-hot [B, size]^T @ grads MXU matmul
+        and written in with dynamic_update_slice (disjoint row ranges).
+      - huge fields (size > dense_threshold): gradient rows merge with the
+        small-field block rows into ONE sorted update stream rebuilt by
+        ops/scatter_rows.scatter_rows_dense per-tile one-hot matmuls (XLA's
+        serial scatter costs ~45 ns/row, the dominant op of the flat step);
+        uniform hashing over >> capacity tiles keeps every tile under the
+        Pallas capacity so the fast path actually executes.
     """
     t = table.astype(gather_dtype) if gather_dtype is not None else table
     emb_flat, lin, _ = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
@@ -484,7 +493,7 @@ def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=No
 
 
 def _lookup_flat_fwd(table, ids, field_info, k, small_threshold, gather_dtype, grad_dtype,
-                     scatter_impl):
+                     scatter_impl, dense_threshold):
     t = table.astype(gather_dtype) if gather_dtype is not None else table
     emb_flat, lin, mh = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
     # [0, width] slice = dtype AND table-width token (residual leaves must be arrays)
@@ -492,9 +501,10 @@ def _lookup_flat_fwd(table, ids, field_info, k, small_threshold, gather_dtype, g
 
 
 def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype,
-                     scatter_impl, res, cts):
+                     scatter_impl, dense_threshold, res, cts):
     if scatter_impl == "mxu":
-        return _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, res, cts)
+        return _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype,
+                                    dense_threshold, res, cts)
     v, dtype_token, ids, mh = res
     d_emb, d_lin = cts
     offsets, sizes = field_info
@@ -549,15 +559,24 @@ def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype,
     return dtable.astype(dtype_token.dtype), None
 
 
-def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, res, cts):
-    """Flat-lookup backward via the MXU row-scatter (ops/scatter_rows).
+def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, dense_threshold,
+                         res, cts):
+    """Flat-lookup backward via MXU rebuilds (no serial scatter anywhere).
 
-    Same math as the XLA path, different dense-grad construction: the
-    small-field block rows (from the multihot^T matmul) and the big-field
-    per-example gradient rows merge into ONE (ids, updates) stream;
-    scatter_rows_dense sorts it and rebuilds the [V, K+1] cotangent with
-    per-tile one-hot matmuls. No zeros+block-write pass, no serial scatter.
-    Collisions accumulate in fp32 on the MXU for BOTH field classes (the XLA
+    Same math as the XLA path, different dense-grad construction, split
+    three ways by field size:
+      - small fields: block rows from the shared multihot^T matmul (as the
+        XLA path), written in with dynamic_update_slice;
+      - dense-medium fields (size <= dense_threshold): the B gradient rows
+        would overflow a scatter_rows tile (e.g. 8192 rows into a 10k-row
+        field = ~1.6k rows per 2048-row tile vs capacity 512), so the field's
+        whole [size, W] slice is rebuilt as ONE fused one-hot
+        [B, size]^T @ grads matmul and written in (row ranges are disjoint);
+      - huge fields: per-example rows merge into one sorted stream for
+        scatter_rows_dense's per-tile one-hot rebuild — uniform hashing over
+        size >> dense_threshold keeps every tile under capacity, so the
+        Pallas path (not its lax.cond fallback) actually executes.
+    Collisions accumulate in fp32 on the MXU for ALL field classes (the XLA
     path's big-field scatter accumulates in grad_dtype)."""
     from rectpu.ops.scatter_rows import scatter_rows_dense
 
@@ -568,11 +587,21 @@ def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, res, cts):
     width = dtype_token.shape[1]
     has_lin = width == k + 1
     small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
+    medium = [f for f in big if sizes[f] <= dense_threshold]
+    huge = [f for f in big if sizes[f] > dense_threshold]
 
     acc_dtype = grad_dtype if grad_dtype is not None else jnp.float32
     b = d_emb.shape[0]
-    id_parts, g_parts = [], []
 
+    def field_grad(f):
+        g_f = jax.lax.dynamic_slice(d_emb, (0, f * k), (b, k))
+        if has_lin:
+            g_f = jnp.concatenate([g_f, d_lin[:, None].astype(g_f.dtype)], axis=1)
+        return g_f  # [B, W]
+
+    # -- huge fields + small block rows: one sorted stream -------------------
+    id_parts, g_parts = [], []
+    d_bd = None
     if small:
         if has_lin:
             d_aug = jnp.concatenate(
@@ -596,24 +625,37 @@ def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, res, cts):
                 jnp.arange(offsets[f], offsets[f] + sizes[f], dtype=jnp.int32)
             )
             g_parts.append(rows)
-
-    for f in big:
-        g_f = jax.lax.dynamic_slice(d_emb, (0, f * k), (b, k))
-        if has_lin:
-            g_f = jnp.concatenate([g_f, d_lin[:, None].astype(g_f.dtype)], axis=1)
+    for f in huge:
         id_parts.append(ids[:, f])
-        g_parts.append(g_f)
+        g_parts.append(field_grad(f))
 
-    if not id_parts:
-        dtable = jnp.zeros((v, width), dtype_token.dtype)
-        return dtable, None
+    if id_parts:
+        cat_dtype = acc_dtype if grad_dtype is not None else jnp.float32
+        all_ids = jnp.concatenate(id_parts)
+        all_g = jnp.concatenate([p.astype(cat_dtype) for p in g_parts])
+        dtable = scatter_rows_dense(
+            all_ids, all_g, v, out_dtype=acc_dtype, interpret=not _on_tpu()
+        )
+    else:
+        dtable = jnp.zeros((v, width), acc_dtype)
 
-    cat_dtype = acc_dtype if grad_dtype is not None else jnp.float32
-    all_ids = jnp.concatenate(id_parts)
-    all_g = jnp.concatenate([p.astype(cat_dtype) for p in g_parts])
-    dtable = scatter_rows_dense(
-        all_ids, all_g, v, out_dtype=acc_dtype, interpret=not _on_tpu()
-    )
+    # -- dense-medium fields: direct one-hot rebuild of each table slice -----
+    for f in medium:
+        g_f = field_grad(f)
+        local = ids[:, f] - offsets[f]  # [B] in [0, size)
+        onehot = (
+            local[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (b, sizes[f]), 1)
+        ).astype(g_f.dtype)  # fused into the matmul operand by XLA
+        d_block = jax.lax.dot_general(
+            onehot, g_f,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [size, W] fp32 collision sums
+        dtable = jax.lax.dynamic_update_slice(
+            dtable, d_block.astype(acc_dtype), (offsets[f], 0)
+        )
+
     return dtable.astype(dtype_token.dtype), None
 
 

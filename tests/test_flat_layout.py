@@ -58,8 +58,13 @@ def test_flat_forward_unpacked_table(setup):
 
 
 @pytest.mark.parametrize("threshold", [60, 1500])
-@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
-def test_flat_grad_matches_take(setup, threshold, scatter_impl):
+@pytest.mark.parametrize("scatter_impl,dense_threshold", [
+    ("xla", 16384),
+    ("mxu", 16384),  # every big field <= 2000 rows -> all dense-medium one-hot
+    ("mxu", 0),      # force every big field into the scatter_rows stream
+    ("mxu", 1000),   # mixed: some medium rebuilds, some stream fields
+])
+def test_flat_grad_matches_take(setup, threshold, scatter_impl, dense_threshold):
     """d table through the flat path == d table through plain gather."""
     fs, table, ids, field_info, k = setup
     b, f = ids.shape
@@ -69,7 +74,8 @@ def test_flat_grad_matches_take(setup, threshold, scatter_impl):
 
     def flat_obj(t):
         emb_flat, lin = lookup_flat(t, ids, field_info, k, small_threshold=threshold,
-                                    scatter_impl=scatter_impl)
+                                    scatter_impl=scatter_impl,
+                                    dense_threshold=dense_threshold)
         return jnp.sum(w_emb * emb_flat) + jnp.sum(w_lin * lin)
 
     def ref_obj(t):
