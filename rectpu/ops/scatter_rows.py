@@ -37,7 +37,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref, *, tr: int, c: int):
-    """out tile [TR, W] = onehot(segment rows)^T @ segment updates."""
+    """out tile [W, TR] = segment updates^T @ onehot(segment rows).
+
+    The output is TRANSPOSED ([W, v_pad] row-major == [v_pad, W] with the
+    {0,1} layout XLA picks for narrow tables): the caller bitcast-transposes
+    it back. Writing [TR, W] would lane-pad W (65 -> 128, ~2x bytes) AND
+    force a relayout copy before the optimizer sweep that consumes it."""
     i = pl.program_id(0)
     start = starts_ref[i]
     count = starts_ref[i + 1] - start
@@ -53,7 +58,7 @@ def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref, *, tr: int, c: i
     valid = (j >= off) & (j < off + count)
     onehot = jnp.where((rows == local) & valid, 1, 0).astype(upd_ref.dtype)
     out_ref[:] = jax.lax.dot_general(
-        onehot, upd_blk,
+        upd_blk, onehot,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
@@ -117,9 +122,9 @@ def scatter_rows_dense(
                     pl.BlockSpec(ids_p.shape, lambda i, s: (0, 0)),
                     pl.BlockSpec(upd_p.shape, lambda i, s: (0, 0)),
                 ],
-                out_specs=pl.BlockSpec((tr, w), lambda i, s: (i, 0)),
+                out_specs=pl.BlockSpec((w, tr), lambda i, s: (0, i)),
             ),
-            out_shape=jax.ShapeDtypeStruct((v_pad, w), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((w, v_pad), out_dtype),
             interpret=interpret,
         )(starts, ids_p, upd_p)
 
@@ -128,11 +133,14 @@ def scatter_rows_dense(
         # accumulate in out_dtype (the XLA-scatter contract this op replaces)
         # rather than fp32, so the cond branch adds no extra peak memory
         dense = jnp.zeros((v_pad, w), out_dtype)
-        return dense.at[ids_p[:r, 0]].add(
+        dense = dense.at[ids_p[:r, 0]].add(
             upd_p[:r].astype(out_dtype), indices_are_sorted=True
         )
+        return dense.T  # real copy, but only on the rare over-capacity branch
 
+    # both branches emit [W, v_pad]; the transpose back to [v_pad, W] is a
+    # layout relabel ({1,0} -> {0,1}), not a copy, on the Pallas branch
     out = jax.lax.cond(
         max_count <= c, pallas_path, fallback_path, (ids_p, upd_p, starts)
-    )
+    ).T
     return out if v_pad == v_rows else out[:v_rows]

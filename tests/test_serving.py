@@ -215,4 +215,8 @@ def test_serialized_apply_matches_python(export_dir):
                     np.asarray(b[key]).ravel()[decided],
                 )
             else:
-                np.testing.assert_allclose(a[key], b[key], rtol=1e-5, atol=1e-6)
+                # rtol 1e-4: the retraced-Python and StableHLO executables may
+                # compile to differently-ordered fp32 reductions (multithreaded
+                # XLA:CPU), which occasionally exceeds 1e-5 relative — observed
+                # as a rare full-suite-only flake
+                np.testing.assert_allclose(a[key], b[key], rtol=1e-4, atol=1e-5)
