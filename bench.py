@@ -98,9 +98,10 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
         # (3.76 -> 3.34 ms/step measured).
         flat_layout=True,
         # MXU row-scatter for the table cotangent (ops/scatter_rows): XLA's
-        # serial scatter costs 1.11 ms at this shape; the sorted one-hot
-        # matmul rebuild + merged small-field rows takes the step
-        # 3.33 -> 2.54 ms. table_padding=2048 keeps the tile grid exact.
+        # serial scatter costs 1.11 ms at this shape; sorted one-hot matmul
+        # rebuild (huge fields) + per-field one-hot rebuilds (dense-medium
+        # fields) + transposed {0,1}-layout output take the step
+        # 3.32 -> 1.91 ms. table_padding=2048 keeps the tile grid exact.
         scatter_impl="mxu",
         table_padding=2048,
     )

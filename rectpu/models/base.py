@@ -127,6 +127,11 @@ class TowerConfig:
     # ops/embedding.lookup_split grad_dtype for the precision contract).
     # Only affects impl="split". None = fp32 (exact).
     table_grad_dtype: str | None = None
+    # Storage dtype of the embedding-table MASTER param. "bfloat16" halves the
+    # optimizer sweep + gather-recast traffic; the Adam update then runs fp32
+    # math with a stochastically-rounded downcast (optimizers.adam), the same
+    # contract as the v slot. float32 = exact TF parity.
+    table_dtype: str = "float32"
     # Fields with vocab <= this route through the one-hot MXU path of the
     # split lookup; larger fields use gather + scatter. 4096 measured best
     # (raising it to pull the 10k zipcode field off the scatter LOST 3x —
@@ -172,6 +177,10 @@ class TowerConfig:
     def jnp_table_grad_dtype(self):
         return jnp.bfloat16 if self.table_grad_dtype == "bfloat16" else None
 
+    @property
+    def jnp_table_dtype(self):
+        return jnp.bfloat16 if self.table_dtype == "bfloat16" else jnp.float32
+
 
 def init_linear_tower(cfg: TowerConfig):
     """Zero-init per-bucket weights + bias (TF linear_model semantics,
@@ -195,10 +204,11 @@ def apply_linear_tower(tower, batch):
 
 def init_embedding_table(rng, cfg: TowerConfig):
     """[V_pad, K] truncated-normal table (TF embedding_column init:
-    stddev = 1/sqrt(K))."""
-    return truncated_normal(
+    stddev = 1/sqrt(K)), stored in cfg.table_dtype."""
+    t = truncated_normal(
         rng, (cfg.padded_buckets, cfg.embedding_size), 1.0 / np.sqrt(cfg.embedding_size)
     )
+    return t.astype(cfg.jnp_table_dtype)
 
 
 def lookup_fields(table, batch, cfg: TowerConfig, lookup_fn=None):

@@ -72,7 +72,9 @@ class DeepFMModel:
             if self.packed:
                 emb = init_embedding_table(k_emb, cfg)
                 w = params["linear"].pop("w")  # folded into the table's last column
-                params["table"] = jnp.concatenate([emb, w[:, None]], axis=1)
+                params["table"] = jnp.concatenate(
+                    [emb, w[:, None].astype(emb.dtype)], axis=1
+                )
             else:
                 params["emb"] = init_embedding_table(k_emb, cfg)
             if cfg.num_numeric:

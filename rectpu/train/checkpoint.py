@@ -19,6 +19,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rectpu.utils.logging import get_logger
@@ -28,11 +29,20 @@ logger = get_logger(__name__)
 _SEP = "/"
 
 
+# npz cannot roundtrip ml_dtypes (bf16 loads back as raw void "|V2"), so
+# non-numpy-native dtypes are stored as uint16 bit patterns under a tagged key
+_BF16_TAG = "__bf16__"
+
+
 def _flatten(tree) -> dict:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = _SEP.join(_path_elem_str(p) for p in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:
+            key += _BF16_TAG
+            arr = arr.view(np.uint16)
+        flat[key] = arr
     return flat
 
 
@@ -161,7 +171,12 @@ class Checkpointer:
         d = self._ckpt_dir(step)
         meta = json.loads((d / "meta.json").read_text())
         with np.load(d / "arrays.npz") as z:
-            flat = {k: z[k] for k in z.files}
+            flat = {}
+            for k in z.files:
+                if k.endswith(_BF16_TAG):
+                    flat[k[: -len(_BF16_TAG)]] = z[k].view(jnp.bfloat16)
+                else:
+                    flat[k] = z[k]
         tree = _rebuild(meta["template"], flat)
         return tree, meta
 

@@ -135,10 +135,19 @@ def adam(
             lambda v_, g: down(beta2 * up(v_, v_dtype) + (1 - beta2) * g * g, v_dtype, t),
             state["v"], grads,
         )
-        new_params = jax.tree.map(
-            lambda p, m_, v_: p - lr_t * up(m_, m_dtype) / (jnp.sqrt(up(v_, v_dtype)) + epsilon),
-            params, m, v,
-        )
+        def apply(p, m_, v_):
+            upd = lr_t * up(m_, m_dtype) / (jnp.sqrt(up(v_, v_dtype)) + epsilon)
+            if p.dtype == jnp.bfloat16:
+                # bf16 master weights: fp32 update math, stochastically-rounded
+                # downcast (same reasoning as the v slot: late-training updates
+                # fall below bf16 ulp/2 and would round to nothing). Seed is
+                # salted away from the v slot's so the two draws decorrelate.
+                return stochastic_round_bf16(
+                    p.astype(jnp.float32) - upd, t + jnp.int32(1 << 30)
+                )
+            return p - upd
+
+        new_params = jax.tree.map(apply, params, m, v)
         return new_params, {"m": m, "v": v, "t": t}
 
     return Optimizer("Adam", init, update)

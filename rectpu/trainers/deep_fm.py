@@ -29,6 +29,7 @@ def train_and_evaluate(args):
         fm_impl=args.fm_impl,
         compute_dtype=args.compute_dtype,
         table_grad_dtype=args.table_grad_dtype,
+        table_dtype=args.table_dtype,
         packed_linear=args.packed_linear or args.flat_layout,
         flat_layout=args.flat_layout,
         scatter_impl=args.scatter_impl,

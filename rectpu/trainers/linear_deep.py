@@ -21,6 +21,7 @@ def train_and_evaluate(args):
         embedding_impl=args.embedding_impl,
         compute_dtype=args.compute_dtype,
         table_grad_dtype=args.table_grad_dtype,
+        table_dtype=args.table_dtype,
     )
     return run(args, WideDeepModel(cfg))
 

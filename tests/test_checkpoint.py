@@ -73,3 +73,26 @@ def test_async_mutation_after_save_is_safe(tmp_path):
     ckpt.wait()
     restored, _ = ckpt.restore(7)
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(100.0))
+
+
+def test_bf16_leaves_roundtrip(tmp_path):
+    """bf16 params (table_dtype=bfloat16) survive save/restore bitwise —
+    npz alone degrades ml_dtypes to raw void, so the checkpointer stores
+    them as tagged uint16 bit patterns."""
+    import jax.numpy as jnp
+
+    from rectpu.train.checkpoint import Checkpointer
+
+    tree = {
+        "table": (jnp.arange(80, dtype=jnp.float32).reshape(16, 5) / 7).astype(jnp.bfloat16),
+        "b": jnp.zeros((3,), jnp.float32),
+    }
+    ck = Checkpointer(tmp_path)
+    ck.save(1, tree)
+    restored, _ = ck.restore()
+    assert restored["table"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored["table"]).view(np.uint16),
+        np.asarray(tree["table"]).view(np.uint16),
+    )
+    assert restored["b"].dtype == np.float32

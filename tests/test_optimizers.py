@@ -167,3 +167,49 @@ def test_stochastic_round_bf16_unbiased_and_no_stall():
         params, state = opt.update({"w": jnp.asarray(g, jnp.float32)}, state, params)
         out.append(float(params["w"]))
     np.testing.assert_allclose(out, ref, rtol=0, atol=5e-3)
+
+
+def test_adam_bf16_params_sr_tracks_fp32():
+    """bf16 master params: fp32 update math + stochastically-rounded downcast.
+    The trajectory tracks the fp32 run to bf16 resolution, the average over
+    many elements tracks it much closer (unbiased rounding), and the update
+    still lands when single increments fall below bf16 ulp/2."""
+    rng = np.random.default_rng(2)
+    n = 512
+    g_seq = [rng.normal(size=n).astype(np.float32) for _ in range(40)]
+
+    ref_opt = adam(0.01)
+    ref_p = {"w": jnp.ones((n,), jnp.float32)}
+    ref_s = ref_opt.init(ref_p)
+    opt = adam(0.01)
+    p = {"w": jnp.ones((n,), jnp.bfloat16)}
+    s = opt.init(p)
+    for g in g_seq:
+        ref_p, ref_s = ref_opt.update({"w": jnp.asarray(g)}, ref_s, ref_p)
+        p, s = opt.update({"w": jnp.asarray(g)}, s, p)
+    assert p["w"].dtype == jnp.bfloat16
+    a = np.asarray(p["w"], np.float32)
+    b = np.asarray(ref_p["w"])
+    # elementwise: each step adds up to ulp/2 (~0.004 here) of unbiased
+    # rounding noise; 40 steps random-walk to ~0.015 sd, so allow the tails
+    np.testing.assert_allclose(a, b, rtol=0, atol=0.15)
+    # unbiasedness: mean-of-512 error has sd ~ 0.015/sqrt(512) ~ 6.6e-4;
+    # allow 3 sd. (A truncating downcast would bias ~ -ulp/4 per step,
+    # ~0.04 after 40 steps — two orders of magnitude larger.)
+    assert abs(float(np.mean(a - b))) < 2.5e-3
+
+
+def test_adam_bf16_params_deterministic():
+    """Same seed/step -> bitwise-identical bf16 params (SR uses the step
+    counter, not an RNG), so resumed runs stay reproducible."""
+    g = jnp.asarray(np.random.default_rng(3).normal(size=64).astype(np.float32))
+
+    def run():
+        opt = adam(0.01)
+        p = {"w": jnp.zeros((64,), jnp.bfloat16)}
+        s = opt.init(p)
+        for _ in range(10):
+            p, s = opt.update({"w": g}, s, p)
+        return np.asarray(p["w"], np.float32)
+
+    np.testing.assert_array_equal(run(), run())
