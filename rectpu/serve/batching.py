@@ -12,13 +12,21 @@ Mechanics: request threads encode their features (pure-CPU, parallel), then
 enqueue `(encoded_batch, event)` and block. A single dispatcher thread takes
 the first waiting request, keeps draining the queue until `max_batch` rows
 are gathered or `max_delay_ms` has elapsed since that first request, then
-concatenates, runs ONE `apply_encoded`, splits the outputs by row offsets,
-and wakes every waiter. Errors in the device call propagate to all requests
-in the batch; encode errors stay per-request (raised before enqueue).
+concatenates and dispatches ONE device apply. Errors in the device call
+propagate to all requests in the batch; encode errors stay per-request
+(raised before enqueue).
+
+The dispatcher does NOT block on the device->host transfer: JAX dispatch is
+asynchronous, so the dispatcher hands the in-flight output to a completion
+thread (bounded in-flight queue) and immediately starts collecting the next
+batch — batch k+1 runs on the device while batch k's results transfer back
+and its waiters wake. Without this, throughput caps at one round-trip per
+batch even though the device is idle during the transfer.
 """
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from dataclasses import dataclass, field
@@ -49,22 +57,46 @@ class MicroBatcher:
     """
 
     def __init__(self, served, max_batch: int | None = None,
-                 max_delay_ms: float = 2.0, start: bool = True):
+                 max_delay_ms: float = 2.0, start: bool = True,
+                 max_in_flight: int = 2, num_dispatchers: int = 1):
+        """``num_dispatchers=1`` (device-bound serving, co-located TPU): one
+        dispatcher + a completion thread pipelines transfer behind compute.
+        ``num_dispatchers>1`` (high-RTT backends, e.g. a tunneled device,
+        where even DISPATCH costs a round trip): a pool of dispatchers each
+        runs its own coalesced batch end-to-end, overlapping round trips."""
         self.served = served
         self.max_batch = max_batch if max_batch is not None else served.max_batch
         self.max_delay_s = max_delay_ms / 1e3
         self._lock = threading.Condition()
         self._queue: list[_Pending] = []
         self._closed = False
+        self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.batches_dispatched = 0
         self.rows_dispatched = 0
-        self._thread: threading.Thread | None = None
+        self._threads: list[threading.Thread] = []
+        self._completer: threading.Thread | None = None
+        # (items, device_out, n) awaiting device->host transfer; bounded so a
+        # slow transfer backpressures dispatch instead of piling device work
+        self._in_flight: queue.Queue = queue.Queue(maxsize=max_in_flight)
         if start:
-            self._thread = threading.Thread(
-                target=self._run, name="microbatcher", daemon=True
-            )
-            self._thread.start()
+            if num_dispatchers <= 1:
+                self._completer = threading.Thread(
+                    target=self._complete_loop, name="microbatcher-complete",
+                    daemon=True,
+                )
+                self._completer.start()
+                self._threads = [threading.Thread(
+                    target=self._run, name="microbatcher", daemon=True
+                )]
+            else:
+                self._threads = [
+                    threading.Thread(target=self._run_sync,
+                                     name=f"microbatcher-{i}", daemon=True)
+                    for i in range(num_dispatchers)
+                ]
+            for t in self._threads:
+                t.start()
 
     # -- request side ------------------------------------------------------
 
@@ -84,9 +116,12 @@ class MicroBatcher:
     def close(self) -> None:
         with self._lock:
             self._closed = True
-            self._lock.notify()
-        if self._thread is not None:
-            self._thread.join(timeout=5)
+            self._lock.notify_all()
+        for t in self._threads:
+            t.join(timeout=5)
+        if self._completer is not None:
+            self._in_flight.put(None)  # sentinel after the dispatcher stopped
+            self._completer.join(timeout=5)
 
     # -- dispatcher side ---------------------------------------------------
 
@@ -116,32 +151,76 @@ class MicroBatcher:
                     break
         return items
 
-    def _dispatch(self, items: list[_Pending]) -> None:
-        try:
-            if len(items) == 1:
-                b, n = items[0].batch, items[0].n
+    def _merge(self, items: list[_Pending]):
+        if len(items) == 1:
+            return items[0].batch, items[0].n
+        keys = items[0].batch.keys()
+        b = {k: np.concatenate([it.batch[k] for it in items]) for k in keys}
+        return b, sum(it.n for it in items)
+
+    def _finish(self, items: list[_Pending], out: dict | None,
+                error: BaseException | None) -> None:
+        """Split a completed batch's host outputs (or an error) to its
+        waiters and bump the stats counters."""
+        off = 0
+        for it in items:
+            if error is not None:
+                it.error = error
             else:
-                keys = items[0].batch.keys()
-                b = {k: np.concatenate([it.batch[k] for it in items]) for k in keys}
-                n = sum(it.n for it in items)
-            out = self.served.apply_encoded(b, n)
-            off = 0
-            for it in items:
                 it.result = {k: v[off:off + it.n] for k, v in out.items()}
                 off += it.n
-        except BaseException as e:  # propagate to every waiter in the batch
-            for it in items:
-                it.error = e
-        finally:
+        with self._stats_lock:
             self.batches_dispatched += 1
             self.rows_dispatched += sum(it.n for it in items)
             self.requests_served += len(items)
-            for it in items:
-                it.done.set()
+        for it in items:
+            it.done.set()
+
+    def _dispatch(self, items: list[_Pending]) -> None:
+        """Synchronous dispatch+complete (used by tests / drain paths)."""
+        try:
+            b, n = self._merge(items)
+            out = self.served.apply_encoded(b, n)
+        except BaseException as e:  # propagate to every waiter in the batch
+            self._finish(items, None, e)
+        else:
+            self._finish(items, out, None)
+
+    def _complete_loop(self) -> None:
+        while True:
+            entry = self._in_flight.get()
+            if entry is None:
+                return
+            items, dev_out, n = entry
+            try:
+                out = self.served.finalize(dev_out, n)
+            except BaseException as e:
+                self._finish(items, None, e)
+            else:
+                self._finish(items, out, None)
+
+    def _run_sync(self) -> None:
+        """Dispatcher-pool worker: take a coalesced batch, run it end-to-end
+        (dispatch + transfer) on this thread. K workers overlap K round
+        trips — the winning shape when dispatch latency, not device
+        occupancy, bounds throughput."""
+        while True:
+            items = self._take_batch()
+            if not items:
+                return
+            self._dispatch(items)
 
     def _run(self) -> None:
         while True:
             items = self._take_batch()
             if not items:
                 return
-            self._dispatch(items)
+            try:
+                b, n = self._merge(items)
+                dev_out, n = self.served.apply_encoded_async(b, n)
+            except BaseException as e:
+                # dispatch-side failure (bad shapes, trace error): fail the
+                # batch without involving the completer
+                self._finish(items, None, e)
+                continue
+            self._in_flight.put((items, dev_out, n))  # blocks at max_in_flight

@@ -213,17 +213,32 @@ class ServingModel:
             batch["num_vals"] = np.zeros((n, 0), np.float32)
         return batch
 
+    def apply_encoded_async(self, batch: dict, n: int):
+        """Dispatch the jitted apply on an encoded batch of n real rows and
+        return the UN-TRANSFERRED device arrays (JAX dispatch is async: this
+        returns as soon as the computation is enqueued). Pair with
+        ``finalize`` — callers that pipeline (serve.batching) dispatch batch
+        k+1 before batch k's device->host transfer completes."""
+        out = self._apply_padded(batch, n)
+        return out, n
+
+    def finalize(self, out, n: int) -> dict:
+        """Block for ``apply_encoded_async``'s result and slice off padding."""
+        return {k: np.asarray(v)[:n] for k, v in jax.device_get(out).items()}
+
     def apply_encoded(self, batch: dict, n: int) -> dict:
         """Run the jitted apply on an encoded batch of n real rows,
         bucket-padding and slicing the padding back off the outputs."""
+        return self.finalize(self._apply_padded(batch, n), n)
+
+    def _apply_padded(self, batch: dict, n: int):
         b = self._bucket(n)
         if b > n:
             batch = {
                 k: np.concatenate([v, np.zeros((b - n,) + v.shape[1:], v.dtype)])
                 for k, v in batch.items()
             }
-        out = self._apply(self.params, batch)
-        return {k: np.asarray(v)[:n] for k, v in jax.device_get(out).items()}
+        return self._apply(self.params, batch)
 
     def predict(self, features: dict) -> dict:
         """Predict from the reference serving schema (raw feature arrays)."""

@@ -89,7 +89,8 @@ def make_handler(served):
 def serve(job_dir: str | None = None, export_dir: str | None = None,
           host: str = "127.0.0.1", port: int = 8080, use_serialized: bool = False,
           compilation_cache_dir: str | None = "/tmp/jax_cache",
-          batch_window_ms: float = 2.0):
+          batch_window_ms: float = 2.0, max_in_flight: int = 4,
+          num_dispatchers: int = 1):
     if compilation_cache_dir:
         # persistent XLA cache: without it every server start recompiles the
         # predict buckets (minutes over a remote-compile TPU tunnel)
@@ -114,7 +115,9 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
         # server-side batching parity); the handler only needs .predict()
         from rectpu.serve.batching import MicroBatcher
 
-        served = MicroBatcher(served, max_delay_ms=batch_window_ms)
+        served = MicroBatcher(served, max_delay_ms=batch_window_ms,
+                              max_in_flight=max_in_flight,
+                              num_dispatchers=num_dispatchers)
         logger.info("request micro-batching on (window %.1f ms)", batch_window_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(served))
     logger.info("listening on http://%s:%d/predict", host, port)
@@ -136,7 +139,15 @@ if __name__ == "__main__":
     ap.add_argument("--batch-window-ms", type=float, default=2.0,
                     help="coalesce concurrent requests into one device call, "
                          "waiting up to this long to fill a batch (0 disables)")
+    ap.add_argument("--max-in-flight", type=int, default=4,
+                    help="batches allowed in flight on the device before the "
+                         "dispatcher backpressures (pipelining depth)")
+    ap.add_argument("--num-dispatchers", type=int, default=1,
+                    help="dispatcher threads: 1 = pipelined single dispatcher "
+                         "(co-located TPU); >1 = pool overlapping dispatch "
+                         "round trips (high-latency tunneled backends)")
     a = ap.parse_args()
     serve(a.job_dir, a.export_dir, a.host, a.port, use_serialized=a.serialized,
           compilation_cache_dir=a.compilation_cache_dir,
-          batch_window_ms=a.batch_window_ms)
+          batch_window_ms=a.batch_window_ms, max_in_flight=a.max_in_flight,
+          num_dispatchers=a.num_dispatchers)

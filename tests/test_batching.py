@@ -173,3 +173,68 @@ def test_http_server_with_batching(export_dir):
     finally:
         httpd.shutdown()
         mb.close()
+
+
+def test_pipelined_sustained_load_matches_direct(export_dir):
+    """Sustained concurrent load through the pipelined dispatcher (bounded
+    in-flight queue): every response matches the direct prediction and all
+    batches complete (no lost wakeups between dispatcher and completer)."""
+    from rectpu.serve.batching import MicroBatcher
+    from rectpu.serve.export import load_model
+
+    served = load_model(export_dir)
+    served.warmup(sizes=(1, 2, 8))
+    mb = MicroBatcher(served, max_delay_ms=1.0, max_in_flight=2)
+    results, errors = {}, {}
+
+    def worker(i):
+        try:
+            for j in range(5):
+                results[(i, j)] = mb.predict(_request(100 * i + j))
+        except BaseException as e:  # pragma: no cover
+            errors[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert len(results) == 20
+    for (i, j), got in results.items():
+        direct = served.predict(_request(100 * i + j))
+        np.testing.assert_allclose(got["probabilities"], direct["probabilities"], rtol=1e-5)
+    assert mb.requests_served == 20
+    mb.close()
+
+
+def test_dispatcher_pool_matches_direct(export_dir):
+    """num_dispatchers>1: the pool serves concurrent load correctly (each
+    worker runs coalesced batches end-to-end; stats stay consistent)."""
+    from rectpu.serve.batching import MicroBatcher
+    from rectpu.serve.export import load_model
+
+    served = load_model(export_dir)
+    served.warmup(sizes=(1, 2, 8))
+    mb = MicroBatcher(served, max_delay_ms=1.0, num_dispatchers=4)
+    results, errors = {}, {}
+
+    def worker(i):
+        try:
+            for j in range(4):
+                results[(i, j)] = mb.predict(_request(200 * i + j))
+        except BaseException as e:  # pragma: no cover
+            errors[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert len(results) == 24
+    for (i, j), got in results.items():
+        direct = served.predict(_request(200 * i + j))
+        np.testing.assert_allclose(got["probabilities"], direct["probabilities"], rtol=1e-5)
+    assert mb.requests_served == 24
+    mb.close()
