@@ -196,14 +196,19 @@ def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:
 
     for i in range(10):  # warmup
         step(i)
-    n = 0
-    t0 = time.time()
-    while time.time() - t0 < seconds:
-        step(n)
-        n += 1
-    eps = n * batch / (time.time() - t0)
-    log(f"cpu proxy (torch, batch {batch}): {n} steps -> {eps:,.0f} examples/s")
-    return eps
+    # best-of-3 windows: the shared host's load varies ~2x between runs and
+    # a depressed baseline would inflate vs_baseline; max is the fairest
+    # estimate of what the reference machine can actually do
+    best = 0.0
+    for _ in range(3):
+        n = 0
+        t0 = time.time()
+        while time.time() - t0 < seconds / 2:
+            step(n)
+            n += 1
+        best = max(best, n * batch / (time.time() - t0))
+    log(f"cpu proxy (torch, batch {batch}): best of 3 -> {best:,.0f} examples/s")
+    return best
 
 
 def bench_kernels() -> dict:

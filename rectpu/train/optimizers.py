@@ -62,6 +62,14 @@ def stochastic_round_bf16(x: jax.Array, seed: jax.Array) -> jax.Array:
     return rounded.astype(jnp.bfloat16)
 
 
+def _fused_backend_ok() -> bool:
+    """The fused table sweep needs a real TPU lowering (Mosaic)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def sgd(learning_rate: float = 0.001) -> Optimizer:
     """tf.train.GradientDescentOptimizer."""
 
@@ -81,6 +89,8 @@ def adam(
     beta2: float = 0.999,
     epsilon: float = 1e-8,
     slot_dtype=None,
+    fused_leaves: tuple = (),
+    fused_tile_rows: int = 2048,
 ) -> Optimizer:
     """tf.train.AdamOptimizer: lr_t = lr*sqrt(1-b2^t)/(1-b1^t);
     p -= lr_t * m / (sqrt(v) + eps). Note eps is added OUTSIDE the
@@ -93,7 +103,13 @@ def adam(
     MEASURED (parity config, 20k steps): m-in-bf16 is AUC-neutral; v-in-bf16
     LOSES ~0.02 AUC — the per-step (1-b2)*g^2 increment falls below bf16's
     8-bit mantissa and v stalls. Prefer {"m": bf16} unless the gradient scale
-    has been checked. Default None keeps fp32 slots = exact TF parity."""
+    has been checked. Default None keeps fp32 slots = exact TF parity.
+
+    ``fused_leaves``: names of top-level [V, W] param-dict leaves to update
+    with the single-sweep Pallas kernel (ops/fused_adam) instead of the
+    tree-map path — one HBM pass over p/m/v/grad, no separate master
+    write-back copy. Same arithmetic (tests/test_fused_adam.py); rows must
+    divide by ``fused_tile_rows``. Ignored off-TPU."""
 
     if isinstance(slot_dtype, dict):
         m_dtype, v_dtype = slot_dtype.get("m"), slot_dtype.get("v")
@@ -123,8 +139,42 @@ def adam(
             return stochastic_round_bf16(x, t)
         return x.astype(dt) if dt is not None else x
 
+    def fusable(key, params):
+        if not (isinstance(params, dict) and key in params):
+            return False
+        p = params[key]
+        return (
+            getattr(p, "ndim", 0) == 2
+            and p.shape[0] % fused_tile_rows == 0
+            and _fused_backend_ok()
+        )
+
     def update(grads, state, params):
         t = state["t"] + 1
+        fused_out = {}
+        if fused_leaves:
+            from rectpu.ops.fused_adam import fused_adam_table
+
+            for key in fused_leaves:
+                if fusable(key, params):
+                    fused_out[key] = fused_adam_table(
+                        params[key], state["m"][key], state["v"][key],
+                        grads[key], t,
+                        lr=learning_rate, beta1=beta1, beta2=beta2, eps=epsilon,
+                        v_sr=v_dtype == BF16_SR, tile_rows=fused_tile_rows,
+                    )
+            if fused_out:
+                rest = lambda tree: {k: x for k, x in tree.items() if k not in fused_out}
+                p2, s2 = _treemap_update(
+                    rest(grads), {"m": rest(state["m"]), "v": rest(state["v"]), "t": state["t"]},
+                    rest(params), t,
+                )
+                for k, (pk, mk, vk) in fused_out.items():
+                    p2[k], s2["m"][k], s2["v"][k] = pk, mk, vk
+                return p2, s2
+        return _treemap_update(grads, state, params, t)
+
+    def _treemap_update(grads, state, params, t):
         tf_ = t.astype(jnp.float32)
         lr_t = learning_rate * jnp.sqrt(1.0 - beta2**tf_) / (1.0 - beta1**tf_)
         m = jax.tree.map(
