@@ -1,0 +1,110 @@
+"""Production-scale table (6M rows, ~390M params): dense sweep vs sparse fast step."""
+import sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from rectpu.features.schema import (GENRE, BucketizedFeature, FeatureSet,
+                                    HashFeature, IdentityFeature, VocabFeature)
+from rectpu.models import DeepFMModel, TowerConfig
+from rectpu.train.metrics import sigmoid_xent
+from rectpu.train.optimizers import BF16_SR, adam
+
+def big_feature_set():
+    feats = [
+        HashFeature("user_id", 3_000_000, dtype="int32"),
+        HashFeature("item_id", 2_500_000, dtype="int32"),
+        BucketizedFeature("age", tuple(range(15, 66, 10))),
+        VocabFeature("gender", ("F", "M"), num_oov_buckets=1),
+        HashFeature("occupation", 50),
+        HashFeature("zipcode", 500_000, dtype="int32"),
+        BucketizedFeature("release_year", tuple(range(1930, 1991, 10))),
+    ]
+    feats.extend(IdentityFeature(g, 2) for g in GENRE)
+    return FeatureSet(categorical=tuple(feats))
+
+def batches(fs, k, batch, seed=0):
+    rng = np.random.default_rng(seed)
+    offs, sizes = fs.offsets, fs.field_sizes
+    out = []
+    for i in range(k):
+        ids = np.stack([offs[f] + rng.integers(0, sizes[f], size=batch)
+                        for f in range(fs.num_fields)], axis=1).astype(np.int32)
+        out.append({
+            "cat_ids": jax.device_put(jnp.asarray(ids)),
+            "num_vals": jax.device_put(jnp.zeros((batch, 0), jnp.float32)),
+            "labels": jax.device_put(jnp.asarray((rng.random(batch) < 0.2).astype(np.float32))),
+        })
+    return out
+
+def run_dense(steps=100, batch=8192):
+    fs = big_feature_set()
+    cfg = TowerConfig(
+        feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
+        compute_dtype="bfloat16", packed_linear=True, table_padding=2048,
+        table_grad_dtype="bfloat16", flat_layout=True, scatter_impl="mxu",
+    )
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = adam(learning_rate=0.001, slot_dtype={"m": jnp.bfloat16, "v": BF16_SR})
+    opt_state = optimizer.init(params)
+    rng = jax.random.PRNGKey(1)
+
+    def train_one(params, opt_state, step, b):
+        step_rng = jax.random.fold_in(rng, step)
+        def loss_fn(p):
+            logits = model.apply(p, b, train=True, rng=step_rng)
+            return sigmoid_xent(logits, b["labels"]).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    fj = jax.jit(train_one, donate_argnums=(0, 1))
+    staged = batches(fs, 4, batch)
+    p, o, loss = fj(params, opt_state, jnp.asarray(0, jnp.int32), staged[0])
+    jax.block_until_ready(loss)
+    for i in range(5):
+        p, o, loss = fj(p, o, jnp.asarray(i, jnp.int32), staged[i % 4])
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(steps):
+        p, o, loss = fj(p, o, jnp.asarray(i, jnp.int32), staged[i % 4])
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    print(f"dense 6M-row: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
+
+def run_sparse(steps=100, batch=8192):
+    from rectpu.train.fast_step import make_sparse_deepfm_step
+    fs = big_feature_set()
+    cfg = TowerConfig(
+        feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
+        compute_dtype="bfloat16", table_padding=2048,
+    )
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    init_opt, step_fn = make_sparse_deepfm_step(model, learning_rate=0.001)
+    opt_state = init_opt(params)
+    fj = jax.jit(step_fn, donate_argnums=(0, 1))
+    staged = batches(fs, 4, batch, seed=2)
+    rng = jax.random.PRNGKey(1)
+    si = lambda i: jnp.asarray(i, jnp.int32)
+    p, o, loss = fj(params, opt_state, staged[0], jax.random.fold_in(rng, 0), si(0))
+    jax.block_until_ready(loss)
+    for i in range(5):
+        p, o, loss = fj(p, o, staged[i % 4], jax.random.fold_in(rng, i), si(i))
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(steps):
+        p, o, loss = fj(p, o, staged[i % 4], jax.random.fold_in(rng, i), si(i))
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    print(f"sparse 6M-row: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
+
+import bench as _bench
+def use_scaled():
+    global big_feature_set
+    big_feature_set = _bench.scaled_feature_set
+
+for a in sys.argv[1:] or ["dense", "sparse"]:
+    if a == "scaled":
+        use_scaled(); continue
+    (run_dense if a == "dense" else run_sparse)()
