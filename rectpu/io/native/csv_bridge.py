@@ -36,14 +36,11 @@ def build_spec(feature_set: FeatureSet, label_col: str, cutoff: float) -> str:
     return "\n".join(lines)
 
 
-def load_and_encode(csv_path: str, feature_set: FeatureSet, label_col: str, cutoff: float) -> dict:
-    from rectpu.io import native
-
-    lib = native._load()
-    if lib is None:
-        raise RuntimeError("native library not built")
+def _bind(lib):
     lib.rectpu_csv_open.restype = ctypes.c_void_p
     lib.rectpu_csv_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.rectpu_csv_open_mem.restype = ctypes.c_void_p
+    lib.rectpu_csv_open_mem.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
     lib.rectpu_csv_rows.restype = ctypes.c_int64
     lib.rectpu_csv_rows.argtypes = [ctypes.c_void_p]
     lib.rectpu_csv_error.restype = ctypes.c_char_p
@@ -55,8 +52,10 @@ def load_and_encode(csv_path: str, feature_set: FeatureSet, label_col: str, cuto
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.rectpu_csv_free.argtypes = [ctypes.c_void_p]
+    return lib
 
-    h = lib.rectpu_csv_open(str(csv_path).encode(), 8)
+
+def _encode_handle(lib, h, feature_set, label_col, cutoff):
     try:
         err = lib.rectpu_csv_error(h)
         if err:
@@ -82,3 +81,28 @@ def load_and_encode(csv_path: str, feature_set: FeatureSet, label_col: str, cuto
         return {"cat_ids": cat_ids, "num_vals": num_vals, "labels": labels}
     finally:
         lib.rectpu_csv_free(h)
+
+
+def encode_bytes(data: bytes, feature_set: FeatureSet, label_col: str, cutoff: float) -> dict:
+    """Encode a window of CSV bytes (header line included) — the streaming
+    loader's per-chunk entry point; the file is never resident."""
+    from rectpu.io import native
+
+    lib = native._load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    _bind(lib)
+    h = lib.rectpu_csv_open_mem(data, len(data), 8)
+    return _encode_handle(lib, h, feature_set, label_col, cutoff)
+
+
+def load_and_encode(csv_path: str, feature_set: FeatureSet, label_col: str, cutoff: float) -> dict:
+    from rectpu.io import native
+
+    lib = native._load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    _bind(lib)
+
+    h = lib.rectpu_csv_open(str(csv_path).encode(), 8)
+    return _encode_handle(lib, h, feature_set, label_col, cutoff)

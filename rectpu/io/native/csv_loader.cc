@@ -204,6 +204,8 @@ int32_t encode_one(const FeatureSpec& spec, const StringPiece& field) {
 
 }  // namespace
 
+static void rectpu_csv_index(CsvFile* f);
+
 extern "C" void* rectpu_csv_open(const char* path, int num_threads) {
   auto* f = new CsvFile();
   f->num_threads = num_threads > 0 ? num_threads : 8;
@@ -216,14 +218,31 @@ extern "C" void* rectpu_csv_open(const char* path, int num_threads) {
   f->buffer.resize(static_cast<size_t>(in.tellg()));
   in.seekg(0);
   in.read(&f->buffer[0], f->buffer.size());
+  rectpu_csv_index(f);
+  return f;
+}
 
+// Streaming entry: parse a window of CSV bytes already in memory (header
+// line included) — the out-of-core loader (io/loader.StreamingCsvDataset)
+// reads chunk byte-ranges and encodes them through this without the file
+// ever being resident.
+extern "C" void* rectpu_csv_open_mem(const char* data, int64_t len,
+                                     int num_threads) {
+  auto* f = new CsvFile();
+  f->num_threads = num_threads > 0 ? num_threads : 8;
+  f->buffer.assign(data, static_cast<size_t>(len));
+  rectpu_csv_index(f);
+  return f;
+}
+
+static void rectpu_csv_index(CsvFile* f) {
   const std::string& b = f->buffer;
   size_t pos = 0;
   // header line
   size_t eol = b.find('\n');
   if (eol == std::string::npos) {
     f->error = "no header";
-    return f;
+    return;
   }
   std::string header_line = b.substr(0, eol);
   if (!header_line.empty() && header_line.back() == '\r') header_line.pop_back();
@@ -242,7 +261,6 @@ extern "C" void* rectpu_csv_open(const char* path, int num_threads) {
     }
   }
   if (row_start < b.size()) f->row_starts.push_back(row_start);
-  return f;
 }
 
 extern "C" int64_t rectpu_csv_rows(void* h) {

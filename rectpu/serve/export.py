@@ -49,14 +49,28 @@ def _serialized_apply_bytes(model, params_host) -> bytes:
     """Serialize the inference graph with jax.export.
 
     Batch-polymorphic (symbolic leading dim) so one artifact serves every
-    request size; lowered for cpu AND tpu so the artifact is portable. The
-    embedding lookup is pinned to the plain-gather impl — correct on every
-    platform and shape-polymorphic (the Pallas/split kernels bake in static
-    batch tiles)."""
+    request size; lowered for cpu AND tpu so the artifact is portable. EVERY
+    kernel-impl choice is pinned to a shape-polymorphic-safe one (plain
+    gather, XLA FM): "auto" impls consult the autotuner's GLOBAL pins, and a
+    pinned Pallas kernel bakes in static batch tiles — tracing it under a
+    symbolic b raises InconclusiveDimensionOperation (seen when an autotune
+    run preceded an export in the same process)."""
+    import dataclasses
+
     import jax.numpy as jnp
     from jax import export as jax_export
 
     from rectpu.ops.embedding import lookup_take
+
+    cfg_safe = dataclasses.replace(
+        model.cfg, fm_impl="xla", embedding_impl="take", flat_layout=False
+    )
+    kwargs = {
+        k: getattr(model, k)
+        for k in ("use_linear", "use_mf", "use_dnn")
+        if hasattr(model, k)
+    }
+    export_model_obj = model.__class__(cfg_safe, **kwargs)
 
     (b,) = jax_export.symbolic_shape("b")
     fs = model.cfg.feature_set
@@ -69,7 +83,9 @@ def _serialized_apply_bytes(model, params_host) -> bytes:
     }
 
     def fn(p, batch):
-        return binary_predictions(model.apply(p, batch, train=False, lookup_fn=lookup_take))
+        return binary_predictions(
+            export_model_obj.apply(p, batch, train=False, lookup_fn=lookup_take)
+        )
 
     exp = jax_export.export(jax.jit(fn), platforms=("cpu", "tpu"))(param_specs, batch_spec)
     return exp.serialize()
@@ -124,6 +140,7 @@ def export_model(
         except Exception as e:  # pragma: no cover - depends on backend support
             logger.warning("jax.export serialization skipped: %s", e)
             meta["serialized_apply"] = False
+            meta["serialized_apply_error"] = f"{type(e).__name__}: {e}"[:500]
         (tmp / "model.json").write_text(json.dumps(meta))
         tmp.rename(final)
     except BaseException:

@@ -63,6 +63,11 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                              "neutral at the scaled bench config and -0.006 "
                              "test AUC at reference defaults. Adam only. "
                              "default: %(default)s")
+    parser.add_argument("--streaming-io", action="store_true",
+                        help="out-of-core input pipeline: parse+encode CSV in "
+                             "windowed chunks with background prefetch instead "
+                             "of loading the dataset resident (for datasets "
+                             "larger than host RAM)")
     parser.add_argument("--num-data-shards", type=int, default=1,
                         help="data-parallel mesh size (1 = single device)")
     parser.add_argument("--num-model-shards", type=int, default=1,
@@ -120,8 +125,14 @@ def build_trainer(args, model, optimizer=None):
     Path(args.job_dir).mkdir(parents=True, exist_ok=True)
 
     fs = model.cfg.feature_set
-    train_ds = CsvDataset(args.train_csv, fs)
-    eval_ds = CsvDataset(args.test_csv, fs)
+    if getattr(args, "streaming_io", False):
+        from rectpu.io.loader import StreamingCsvDataset
+
+        train_ds = StreamingCsvDataset(args.train_csv, fs)
+        eval_ds = StreamingCsvDataset(args.test_csv, fs)
+    else:
+        train_ds = CsvDataset(args.train_csv, fs)
+        eval_ds = CsvDataset(args.test_csv, fs)
 
     plan = None
     if args.num_data_shards > 1 or args.num_model_shards > 1:

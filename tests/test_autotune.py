@@ -1,25 +1,34 @@
 """Autotuner smoke test (CPU): runs all impls, sets coherent winners."""
 
+import pytest
+
 from rectpu.ops import embedding as emb_ops
 from rectpu.ops import fm as fm_ops
 from rectpu.ops.autotune import autotune
 
 
-def test_autotune_smoke():
+@pytest.fixture(autouse=True)
+def restore_global_pins():
+    """Every autotune run mutates the GLOBAL "auto" dispatch pins with a
+    TIMING-DEPENDENT winner; a leaked Pallas pin broke batch-polymorphic
+    jax.export in later tests intermittently (static tile sizes cannot trace
+    under a symbolic batch dim)."""
     before_lookup = dict(emb_ops._AUTO_DEFAULT)
     before_fm = dict(fm_ops._AUTO_DEFAULT)
-    try:
-        result = autotune(batch=64, num_fields=8, embedding_size=4, vocab_rows=512,
-                          include_grad=False)
-        assert result["lookup"] in ("take", "onehot", "pallas")
-        assert result["fm"] in ("xla", "pallas")
-        assert all(t > 0 for t in result["timings_s"].values())
-        # the dispatcher now resolves "auto" to the winner
-        key = "tpu" if emb_ops._on_tpu() else "other"
-        assert emb_ops._AUTO_DEFAULT[key] == result["lookup"]
-    finally:
-        emb_ops._AUTO_DEFAULT.update(before_lookup)
-        fm_ops._AUTO_DEFAULT.update(before_fm)
+    yield
+    emb_ops._AUTO_DEFAULT.update(before_lookup)
+    fm_ops._AUTO_DEFAULT.update(before_fm)
+
+
+def test_autotune_smoke():
+    result = autotune(batch=64, num_fields=8, embedding_size=4, vocab_rows=512,
+                      include_grad=False)
+    assert result["lookup"] in ("take", "onehot", "pallas")
+    assert result["fm"] in ("xla", "pallas")
+    assert all(t > 0 for t in result["timings_s"].values())
+    # the dispatcher now resolves "auto" to the winner
+    key = "tpu" if emb_ops._on_tpu() else "other"
+    assert emb_ops._AUTO_DEFAULT[key] == result["lookup"]
 
 
 def test_autotune_skips_onehot_for_large_vocab():

@@ -187,8 +187,12 @@ def test_serialized_apply_matches_python(export_dir):
     """The jax.export StableHLO artifact (SavedModel-graph parity) predicts
     identically to the retraced Python model, at multiple batch sizes (the
     graph is batch-polymorphic)."""
+    import json as _json
+
     from rectpu.serve.export import load_model
 
+    meta = _json.loads((export_dir / "model.json").read_text())
+    assert meta.get("serialized_apply"), meta.get("serialized_apply_error")
     assert (export_dir / "apply.jaxexport").exists()
     py = load_model(export_dir)
     hlo = load_model(export_dir, use_serialized=True)
