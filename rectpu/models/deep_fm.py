@@ -96,10 +96,14 @@ class DeepFMModel:
         if (
             cfg.flat_layout
             and self.packed
-            and lookup_fn is None
             and cfg.num_numeric == 0
+            and (lookup_fn is None or getattr(lookup_fn, "flat_variant", None))
         ):
-            return self._apply_flat(params, batch, train=train, rng=rng)
+            # sharded lookups upgrade to their lane-packed exchange when the
+            # plan provides one (parallel/plan: 2D EP attaches .flat_variant)
+            flat_fn = getattr(lookup_fn, "flat_variant", None)
+            return self._apply_flat(params, batch, train=train, rng=rng,
+                                    flat_lookup_fn=flat_fn)
         logits = jnp.zeros((batch["cat_ids"].shape[0],), dtype=jnp.float32)
 
         fuse = (
@@ -117,13 +121,16 @@ class DeepFMModel:
 
         return logits
 
-    def _apply_flat(self, params, batch, train: bool = False, rng=None):
+    def _apply_flat(self, params, batch, train: bool = False, rng=None,
+                    flat_lookup_fn=None):
         """Lane-packed tower math: the looked activations stay [B, F*K].
 
         Numerically the same model as ``apply`` (same gather values, same FM
         identity, same MLP weights — the flat tensor IS looked[..., :K]
         .reshape(B, F*K)); only the reduction orders differ. Avoids the
         [B, F, K+1] tile padding and the DNN flatten relayout entirely.
+        ``flat_lookup_fn`` (from a ParallelPlan) replaces the local lookup
+        with a sharded lane-packed exchange.
         """
         from rectpu.ops.embedding import lookup_flat
         from rectpu.ops.fm import fm_cross_flat
@@ -132,14 +139,17 @@ class DeepFMModel:
         fs = cfg.feature_set
         field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
         k = cfg.embedding_size
-        emb_flat, lin = lookup_flat(
-            params["table"], batch["cat_ids"], field_info, k,
-            small_threshold=cfg.split_threshold,
-            gather_dtype=cfg.jnp_compute_dtype,
-            grad_dtype=cfg.jnp_table_grad_dtype,
-            scatter_impl=cfg.scatter_impl,
-            dense_threshold=cfg.mxu_dense_threshold,
-        )
+        if flat_lookup_fn is not None:
+            emb_flat, lin = flat_lookup_fn(params["table"], batch["cat_ids"])
+        else:
+            emb_flat, lin = lookup_flat(
+                params["table"], batch["cat_ids"], field_info, k,
+                small_threshold=cfg.split_threshold,
+                gather_dtype=cfg.jnp_compute_dtype,
+                grad_dtype=cfg.jnp_table_grad_dtype,
+                scatter_impl=cfg.scatter_impl,
+                dense_threshold=cfg.mxu_dense_threshold,
+            )
         logits = lin + params["linear"]["b"]
         if self.use_mf:
             logits = logits + fm_cross_flat(emb_flat, cfg.num_fields, k)

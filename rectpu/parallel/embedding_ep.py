@@ -200,3 +200,61 @@ def make_ep_lookup(mesh: Mesh):
         )(table, ids)
 
     return lookup
+
+
+def make_ep_lookup_2d_flat(mesh: Mesh):
+    """2D EP lookup emitting the LANE-PACKED flat layout directly.
+
+    Same exchange as ``make_ep_lookup_2d`` (id all_gather over 'model',
+    masked local gather, activation reduce_scatter), but each shard writes
+    its rows straight into the flat [B/d, F*K] layout and folds the packed
+    linear column into a [B/d] partial sum BEFORE the collective. The
+    reduce_scatter then moves F*K = 26*64 = 1664 exact lanes instead of the
+    tile-padded [B/d, F, K+1] (26 fields x 128-padded lanes = 3328) — HALF
+    the ICI bytes — and the towers get flat activations with no relayout
+    (ops/fm.fm_cross_flat + the no-reshape DNN input; see
+    models/deep_fm._apply_flat).
+
+    Requires the packed [V, K+1] table (cfg.packed_linear). Returns
+    ``(emb_flat [B, F*K], lin [B])``; autodiff reverses the pipeline
+    (all_gather of flat cotangents, per-field local scatter-add, psum over
+    'data') for free.
+    """
+
+    def local_lookup(table_shard, ids_local):
+        # table_shard: [V/m, K+1]; ids_local: [B/(d*m), F] of GLOBAL row ids
+        ids_full = jax.lax.all_gather(
+            ids_local.astype(jnp.int32), MODEL_AXIS, axis=0, tiled=True
+        )  # [B/d, F]
+        m = jax.lax.axis_index(MODEL_AXIS)
+        v_shard = table_shard.shape[0]
+        k = table_shard.shape[1] - 1
+        b, f_total = ids_full.shape
+        local = ids_full - m * v_shard
+        in_range = (local >= 0) & (local < v_shard)
+        safe = jnp.where(in_range, local, 0)
+
+        emb_flat = jnp.zeros((b, f_total * k), table_shard.dtype)
+        lin = jnp.zeros((b,), jnp.float32)
+        for f in range(f_total):
+            piece = jnp.take(table_shard, safe[:, f], axis=0)  # [B/d, K+1]
+            piece = jnp.where(in_range[:, f, None], piece, jnp.zeros_like(piece))
+            emb_flat = jax.lax.dynamic_update_slice(
+                emb_flat, piece[:, :k], (0, f * k)
+            )
+            lin = lin + piece[:, k].astype(jnp.float32)
+        emb_flat = jax.lax.psum_scatter(
+            emb_flat, MODEL_AXIS, scatter_dimension=0, tiled=True
+        )
+        lin = jax.lax.psum_scatter(lin, MODEL_AXIS, scatter_dimension=0, tiled=True)
+        return emb_flat, lin
+
+    def lookup(table, ids):
+        return shard_map(
+            local_lookup,
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
+            out_specs=(P((DATA_AXIS, MODEL_AXIS), None), P((DATA_AXIS, MODEL_AXIS))),
+        )(table, ids)
+
+    return lookup

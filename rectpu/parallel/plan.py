@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rectpu.parallel.embedding_ep import (
     make_ep_lookup,
     make_ep_lookup_2d,
+    make_ep_lookup_2d_flat,
     make_ep_lookup_dedup,
 )
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
@@ -48,6 +49,10 @@ class ParallelPlan:
             lookup_fn = None
         elif ep_mode == "2d":
             lookup_fn = make_ep_lookup_2d(mesh)
+            # models with flat_layout upgrade to the lane-packed exchange
+            # (half the reduce_scatter bytes, flat tower math) through this
+            # attribute — the trainer keeps passing one lookup_fn either way
+            lookup_fn.flat_variant = make_ep_lookup_2d_flat(mesh)
         elif ep_mode == "dedup":
             lookup_fn = make_ep_lookup_dedup(mesh)
         else:

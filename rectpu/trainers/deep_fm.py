@@ -87,8 +87,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--flat-layout", action="store_true",
                         help="lane-packed [B, F*K] looked activations (implies "
                              "--packed-linear): avoids the [B, F, K+1] tile padding "
-                             "(~12%% step win at the scaled config); incompatible "
-                             "with --numeric-columns and sharded lookups")
+                             "everywhere in the lookup->FM->DNN chain; with "
+                             "--ep-mode 2d the sharded lookup upgrades to a "
+                             "lane-packed exchange (half the reduce_scatter "
+                             "bytes); incompatible with --numeric-columns")
     parser.add_argument("--scatter-impl", choices=["xla", "mxu"], default="xla",
                         help="flat-layout table-cotangent builder: 'mxu' rebuilds "
                              "the dense grad with sorted one-hot MXU matmuls "
