@@ -22,6 +22,7 @@ def main():
     data_dir = sys.argv[4]
     out_path = sys.argv[5]
     model_shards = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    flat = len(sys.argv) > 7 and sys.argv[7] == "1"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -42,7 +43,8 @@ def main():
     from rectpu.train.loop import TrainConfig, Trainer
 
     fs = ml_100k_feature_set()
-    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16))
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      packed_linear=flat, flat_layout=flat)
     model = DeepFMModel(cfg)
     train_ds = CsvDataset(os.path.join(data_dir, "train.csv"), fs)
     eval_ds = CsvDataset(os.path.join(data_dir, "test.csv"), fs)
@@ -56,7 +58,8 @@ def main():
                      save_checkpoints_steps=10**6, async_checkpoint=False)
     trainer = Trainer(
         model, model.default_optimizer(), train_ds, eval_ds,
-        os.path.join(data_dir, f"job_np{nproc}_m{model_shards}"), tc, plan=plan,
+        os.path.join(data_dir, f"job_np{nproc}_m{model_shards}_f{int(flat)}"),
+        tc, plan=plan,
     )
     metrics = trainer.train_and_evaluate(restore=False)
 

@@ -22,13 +22,13 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run(nproc, data_dir, tmp_path, model_shards=1):
-    out = tmp_path / f"out_np{nproc}_m{model_shards}.json"
+def _run(nproc, data_dir, tmp_path, model_shards=1, flat=False):
+    out = tmp_path / f"out_np{nproc}_m{model_shards}_f{int(flat)}.json"
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), str(nproc), coordinator,
-             str(data_dir), str(out), str(model_shards)],
+             str(data_dir), str(out), str(model_shards), str(int(flat))],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=str(WORKER.parent.parent),
         )
@@ -71,6 +71,25 @@ def test_two_process_ep_table_sharding(tmp_path):
 
     single = _run(1, data_dir, tmp_path)
     multi = _run(2, data_dir, tmp_path, model_shards=2)
+
+    assert multi["metrics"]["count"] == 512
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(single["metrics"][key], multi["metrics"][key],
+                          rtol=1e-4, atol=1e-5), (key, single, multi)
+    assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_flat_ep(tmp_path):
+    """flat_layout over the lane-packed 2D EP exchange with the 'model' axis
+    spanning OS processes (cross-process flat reduce_scatter)."""
+    from rectpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    write_synthetic_dataset(data_dir, train_rows=2000, test_rows=512, seed=11)
+
+    single = _run(1, data_dir, tmp_path, flat=True)
+    multi = _run(2, data_dir, tmp_path, model_shards=2, flat=True)
 
     assert multi["metrics"]["count"] == 512
     for key in ("auc", "average_loss", "accuracy"):
