@@ -7,11 +7,22 @@ dense gradient at near-roofline by turning the scatter into per-tile MXU
 matmuls:
 
   1. sort the updates by destination row (one bitonic key/payload sort),
-  2. split the sorted stream into segments per TR-row table tile
-     (``searchsorted`` on the tile boundaries -> scalar-prefetched offsets),
+  2. split the sorted stream into per-TR-row-tile segments (histogram +
+     cumsum); small streams stay RESIDENT in VMEM (each tile dynamic-slices
+     its window), large ones are repacked into STATIC [C]-row blocks with
+     one unrolled dynamic_slice per tile (contiguous copies, ~R rows total —
+     NOT a per-row gather; ~1-2 us/tile of op overhead),
   3. each grid step builds a local one-hot [C, TR] of its segment's rows and
-     writes out_tile = onehot^T @ updates_segment — collisions sum in fp32 on
-     the MXU (strictly better than the bf16 serial scatter it replaces).
+     writes out_tile = updates_segment^T @ onehot — collisions sum in fp32
+     on the MXU (strictly better than the bf16 serial scatter it replaces).
+
+The resident/repack split exists because the resident form's VMEM scales
+with the stream (the [R, 1] ids lane-pad 128x: scoped-VMEM OOM from ~25k
+rows), while the repack pays ~0.3 ms of slice-op overhead at 152 tiles —
+each is the winner in its regime (measured: batch 8192 resident 1.92 ms vs
+repacked 2.29; batch 32768 repacked works, resident cannot compile).
+Manual HBM->VMEM DMA windows were tried and hit Mosaic's 128-lane
+slice-alignment rule.
 
 Capacity contract: a tile holding more than ``capacity`` updates cannot be
 expressed in the static [C, TR] one-hot, so the wrapper computes the max
@@ -39,10 +50,35 @@ def _round_up(x: int, m: int) -> int:
 def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref, *, tr: int, c: int):
     """out tile [W, TR] = segment updates^T @ onehot(segment rows).
 
-    The output is TRANSPOSED ([W, v_pad] row-major == [v_pad, W] with the
-    {0,1} layout XLA picks for narrow tables): the caller bitcast-transposes
-    it back. Writing [TR, W] would lane-pad W (65 -> 128, ~2x bytes) AND
-    force a relayout copy before the optimizer sweep that consumes it."""
+    Repacked-segment variant: ids/upd blocks hold exactly this tile's
+    [C]-row (padded) segment. The output is TRANSPOSED ([W, v_pad] row-major
+    == [v_pad, W] with the {0,1} layout XLA picks for narrow tables): the
+    caller bitcast-transposes it back. Writing [TR, W] would lane-pad W
+    (65 -> 128, ~2x bytes) AND force a relayout copy before the optimizer
+    sweep that consumes it."""
+    i = pl.program_id(0)
+    count = starts_ref[i + 1] - starts_ref[i]
+    ids_blk = ids_ref[...]  # [C, 1] int32 (this tile's segment, padded)
+    upd_blk = upd_ref[...]  # [C, W]
+    local = ids_blk - i * tr
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0)
+    valid = j < count
+    onehot = jnp.where((rows == local) & valid, 1, 0).astype(upd_blk.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        upd_blk, onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _scatter_tile_kernel_resident(starts_ref, ids_ref, upd_ref, out_ref,
+                                  *, tr: int, c: int):
+    """Variant with the WHOLE sorted stream resident in VMEM: each tile
+    dynamic-slices its window (8-aligned start, validity-masked). Cheaper
+    than the repacked variant (no per-tile slice ops in XLA) but VMEM scales
+    with the stream: the [R, 1] ids lane-pad 128x, so this path is gated to
+    streams that fit (see scatter_rows_dense)."""
     i = pl.program_id(0)
     start = starts_ref[i]
     count = starts_ref[i + 1] - start
@@ -56,7 +92,7 @@ def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref, *, tr: int, c: i
     rows = jax.lax.broadcasted_iota(jnp.int32, (c + 8, tr), 1)
     j = jax.lax.broadcasted_iota(jnp.int32, (c + 8, tr), 0)
     valid = (j >= off) & (j < off + count)
-    onehot = jnp.where((rows == local) & valid, 1, 0).astype(upd_ref.dtype)
+    onehot = jnp.where((rows == local) & valid, 1, 0).astype(upd_blk.dtype)
     out_ref[:] = jax.lax.dot_general(
         upd_blk, onehot,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -105,35 +141,64 @@ def scatter_rows_dense(
     )
     max_count = jnp.max(counts)
 
-    # window reads go up to start + C + 8 with start <= R
+    # slice windows read [start, start + C(+8)): pad so any start <= R is safe
     pad_rows = c + 8
     sentinel = jnp.iinfo(jnp.int32).max // 2  # matches no tile
-    ids_p = jnp.pad(ids_s, (0, pad_rows), constant_values=sentinel).reshape(-1, 1)
+    ids_p = jnp.pad(ids_s, (0, pad_rows), constant_values=sentinel)
     upd_p = jnp.pad(upd_s, ((0, pad_rows), (0, 0)))
+
+    # resident path VMEM: ids [R,1] lane-pad to 128 int32 + upd lane-pad W
+    # to 128 bf16-ish; gate on a ~12 MB budget of the 16 MB scoped limit
+    resident_bytes = (r + pad_rows) * (128 * 4 + 128 * upd_s.dtype.itemsize)
+    use_resident = resident_bytes <= 14 << 20
 
     def pallas_path(args):
         ids_p, upd_p, starts = args
+        if use_resident:
+            return pl.pallas_call(
+                functools.partial(_scatter_tile_kernel_resident, tr=tr, c=c),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(g,),
+                    in_specs=[
+                        pl.BlockSpec((ids_p.shape[0], 1), lambda i, s: (0, 0)),
+                        pl.BlockSpec(upd_p.shape, lambda i, s: (0, 0)),
+                    ],
+                    out_specs=pl.BlockSpec((w, tr), lambda i, s: (0, i)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((w, v_pad), out_dtype),
+                interpret=interpret,
+            )(starts, ids_p.reshape(-1, 1), upd_p)
+        # large streams: repack each tile's segment into a static [C]-row
+        # block — one contiguous dynamic_slice per tile (unrolled), NOT a
+        # per-row gather. ~1-2 us/slice of op overhead, VMEM independent of R.
+        seg_ids = jnp.stack(
+            [jax.lax.dynamic_slice(ids_p, (starts[i],), (c,)) for i in range(g)]
+        ).reshape(g * c, 1)
+        seg_upd = jnp.concatenate(
+            [jax.lax.dynamic_slice(upd_p, (starts[i], 0), (c, w)) for i in range(g)]
+        )
         return pl.pallas_call(
             functools.partial(_scatter_tile_kernel, tr=tr, c=c),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g,),
                 in_specs=[
-                    pl.BlockSpec(ids_p.shape, lambda i, s: (0, 0)),
-                    pl.BlockSpec(upd_p.shape, lambda i, s: (0, 0)),
+                    pl.BlockSpec((c, 1), lambda i, s: (i, 0)),
+                    pl.BlockSpec((c, w), lambda i, s: (i, 0)),
                 ],
                 out_specs=pl.BlockSpec((w, tr), lambda i, s: (0, i)),
             ),
             out_shape=jax.ShapeDtypeStruct((w, v_pad), out_dtype),
             interpret=interpret,
-        )(starts, ids_p, upd_p)
+        )(starts, seg_ids, seg_upd)
 
     def fallback_path(args):
         ids_p, upd_p, _ = args
         # accumulate in out_dtype (the XLA-scatter contract this op replaces)
         # rather than fp32, so the cond branch adds no extra peak memory
         dense = jnp.zeros((v_pad, w), out_dtype)
-        dense = dense.at[ids_p[:r, 0]].add(
+        dense = dense.at[ids_p[:r]].add(
             upd_p[:r].astype(out_dtype), indices_are_sorted=True
         )
         return dense.T  # real copy, but only on the rare over-capacity branch
