@@ -150,7 +150,7 @@ def scatter_rows_dense(
     # resident path VMEM: ids [R,1] lane-pad to 128 int32 + upd lane-pad W
     # to 128 bf16-ish; gate on a ~12 MB budget of the 16 MB scoped limit
     resident_bytes = (r + pad_rows) * (128 * 4 + 128 * upd_s.dtype.itemsize)
-    use_resident = resident_bytes <= 14 << 20
+    use_resident = resident_bytes <= 26 << 20  # empirical: 16k-batch streams (~26 MB nominal) still compile
 
     def pallas_path(args):
         ids_p, upd_p, starts = args
