@@ -22,7 +22,10 @@ def _args(model_name, synthetic_dir, tmp_path, **over):
         "--save-checkpoints-steps", str(over.pop("save_steps", 300)),
     ]
     for k, v in over.items():
-        argv += [f"--{k.replace('_', '-')}", str(v)]
+        if v is True:  # store_true flags take no value token
+            argv += [f"--{k.replace('_', '-')}"]
+        else:
+            argv += [f"--{k.replace('_', '-')}", str(v)]
     return mod, parser.parse_args(argv)
 
 
@@ -184,3 +187,38 @@ def test_reduced_precision_flags_train(synthetic_dir, tmp_path):
     ref_mod, ref_args = _args("deep_fm", synthetic_dir, tmp_path, train_steps=800)
     ref = ref_mod.train_and_evaluate(ref_args)
     assert abs(metrics["auc"] - ref["auc"]) < 0.05
+
+
+def test_flat_mxu_and_streaming_flags_train(synthetic_dir, tmp_path):
+    """--flat-layout/--scatter-impl mxu and --streaming-io parse through the
+    real CLI and reach the same short-horizon AUC as the default path."""
+    mod, args = _args(
+        "deep_fm", synthetic_dir, tmp_path, train_steps=800,
+        flat_layout=True, scatter_impl="mxu",
+    )
+    metrics = mod.train_and_evaluate(args)
+    assert metrics["auc"] > 0.55
+
+    mod2, args2 = _args("deep_fm", synthetic_dir, tmp_path, train_steps=800,
+                        streaming_io=True)
+    args2.job_dir = str(tmp_path / "deep_fm_stream")
+    m2 = mod2.train_and_evaluate(args2)
+    assert m2["auc"] > 0.55
+    assert abs(metrics["auc"] - m2["auc"]) < 0.05
+
+
+def test_table_dtype_flag_guard(synthetic_dir, tmp_path):
+    """--table-dtype bfloat16 trains under Adam and is refused for FTRL."""
+    mod, args = _args(
+        "deep_fm", synthetic_dir, tmp_path, train_steps=300,
+        table_dtype="bfloat16",
+    )
+    metrics = mod.train_and_evaluate(args)
+    assert np.isfinite(metrics["average_loss"])
+
+    lin_mod, lin_args = _args(
+        "linear", synthetic_dir, tmp_path, train_steps=100,
+        table_dtype="bfloat16",
+    )
+    with pytest.raises(ValueError, match="requires the Adam optimizer"):
+        lin_mod.train_and_evaluate(lin_args)
