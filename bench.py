@@ -254,6 +254,30 @@ def bench_kernels() -> dict:
         results[f"lookup_{name}_bwd_ms"] = 1e3 * timeit_chained(
             grad_fn, lambda out, t: t + out * 1e-12, table
         )
+    # dense row-scatter at the scaled-config shape: XLA's serial scatter vs
+    # the sorted one-hot MXU rebuild (ops/scatter_rows)
+    from rectpu.ops.scatter_rows import scatter_rows_dense
+
+    v_rows = 311296
+    rng = np.random.default_rng(3)
+    sc_ids = jnp.asarray(rng.integers(0, v_rows, size=16384).astype(np.int32))
+    sc_upd = jnp.asarray(rng.normal(size=(16384, 65)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def xla_scatter(u):
+        return jnp.zeros((v_rows, 65), jnp.bfloat16).at[sc_ids].add(u)
+
+    def mxu_scatter(u):
+        return scatter_rows_dense(sc_ids, u, v_rows, out_dtype=jnp.bfloat16)
+
+    for name, fn in [("scatter_xla", xla_scatter), ("scatter_mxu", mxu_scatter)]:
+        # scalar-reduce feedback: a row-gather feedback would add ~1 ms of
+        # its own serial-gather time to BOTH sides and mask the difference
+        results[name + "_ms"] = 1e3 * timeit_chained(
+            fn, lambda out, u: u + (out.sum() * 1e-12).astype(u.dtype), sc_upd
+        )
+
     for k_, v_ in results.items():
         log(f"kernel {k_}: {v_:.3f} ms")
     return results
