@@ -47,23 +47,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref, *, tr: int, c: int):
+def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref,
+                         *, tr: int, c: int, ss: int):
     """out tile [W, TR] = segment updates^T @ onehot(segment rows).
 
-    Repacked-segment variant: ids/upd blocks hold exactly this tile's
-    [C]-row (padded) segment. The output is TRANSPOSED ([W, v_pad] row-major
-    == [v_pad, W] with the {0,1} layout XLA picks for narrow tables): the
-    caller bitcast-transposes it back. Writing [TR, W] would lane-pad W
-    (65 -> 128, ~2x bytes) AND force a relayout copy before the optimizer
-    sweep that consumes it."""
+    Super-segment variant: ids/upd blocks hold the padded stream slice of an
+    ``ss``-tile GROUP (repacked outside with one dynamic_slice per group —
+    g/ss slice ops instead of g); each tile windows its own segment at
+    offset starts[i] - starts[group_start]. The output is TRANSPOSED
+    ([W, v_pad] row-major == [v_pad, W] with the {0,1} layout XLA picks for
+    narrow tables): the caller bitcast-transposes it back. Writing [TR, W]
+    would lane-pad W (65 -> 128, ~2x bytes) AND force a relayout copy
+    before the optimizer sweep that consumes it."""
     i = pl.program_id(0)
+    group_first = (i // ss) * ss
+    offset = starts_ref[i] - starts_ref[group_first]
     count = starts_ref[i + 1] - starts_ref[i]
-    ids_blk = ids_ref[...]  # [C, 1] int32 (this tile's segment, padded)
-    upd_blk = upd_ref[...]  # [C, W]
+    # dynamic sublane slices want 8-aligned starts: widen the window by 8
+    # and shift the validity mask instead
+    a_off = (offset // 8) * 8
+    sh = offset - a_off
+    ids_blk = ids_ref[pl.ds(a_off, c + 8), :]  # [C+8, 1] int32
+    upd_blk = upd_ref[pl.ds(a_off, c + 8), :]  # [C+8, W]
     local = ids_blk - i * tr
-    rows = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0)
-    valid = j < count
+    rows = jax.lax.broadcasted_iota(jnp.int32, (c + 8, tr), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (c + 8, tr), 0)
+    valid = (j >= sh) & (j < sh + count)
     onehot = jnp.where((rows == local) & valid, 1, 0).astype(upd_blk.dtype)
     out_ref[:] = jax.lax.dot_general(
         upd_blk, onehot,
@@ -102,7 +111,8 @@ def _scatter_tile_kernel_resident(starts_ref, ids_ref, upd_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("v_rows", "tile_rows", "capacity", "out_dtype", "interpret"),
+    static_argnames=("v_rows", "tile_rows", "capacity", "out_dtype", "interpret",
+                     "stream_placement"),
 )
 def scatter_rows_dense(
     ids: jax.Array,
@@ -113,6 +123,7 @@ def scatter_rows_dense(
     capacity: int = 512,
     out_dtype=None,
     interpret: bool = False,
+    stream_placement: str = "auto",
 ) -> jax.Array:
     """Return ``zeros([v_rows, W], out_dtype).at[ids].add(updates)``.
 
@@ -141,16 +152,23 @@ def scatter_rows_dense(
     )
     max_count = jnp.max(counts)
 
-    # slice windows read [start, start + C(+8)): pad so any start <= R is safe
-    pad_rows = c + 8
+    # resident path VMEM: ids [R,1] lane-pad to 128 int32 + upd lane-pad W
+    # to 128 bf16-ish; gate on the empirical compile boundary (16k-batch
+    # streams, ~26 MB nominal, still fit — the reported scoped limit
+    # under-counts)
+    resident_bytes = (r + c + 8) * (128 * 4 + 128 * upd_s.dtype.itemsize)
+    if stream_placement == "auto":
+        use_resident = resident_bytes <= 26 << 20
+    else:  # explicit override, mainly for tests of the non-default regime
+        use_resident = stream_placement == "resident"
+
+    # slice windows read [start, start + C + 8) (resident) or a full
+    # super-segment [start, start + 8C + 8) (repack): pad so any start <= R
+    # is safe for whichever path compiles
+    pad_rows = (c + 8) if use_resident else (8 * c + 8)
     sentinel = jnp.iinfo(jnp.int32).max // 2  # matches no tile
     ids_p = jnp.pad(ids_s, (0, pad_rows), constant_values=sentinel)
     upd_p = jnp.pad(upd_s, ((0, pad_rows), (0, 0)))
-
-    # resident path VMEM: ids [R,1] lane-pad to 128 int32 + upd lane-pad W
-    # to 128 bf16-ish; gate on a ~12 MB budget of the 16 MB scoped limit
-    resident_bytes = (r + pad_rows) * (128 * 4 + 128 * upd_s.dtype.itemsize)
-    use_resident = resident_bytes <= 26 << 20  # empirical: 16k-batch streams (~26 MB nominal) still compile
 
     def pallas_path(args):
         ids_p, upd_p, starts = args
@@ -169,23 +187,31 @@ def scatter_rows_dense(
                 out_shape=jax.ShapeDtypeStruct((w, v_pad), out_dtype),
                 interpret=interpret,
             )(starts, ids_p.reshape(-1, 1), upd_p)
-        # large streams: repack each tile's segment into a static [C]-row
-        # block — one contiguous dynamic_slice per tile (unrolled), NOT a
-        # per-row gather. ~1-2 us/slice of op overhead, VMEM independent of R.
+        # large streams: repack SUPER-SEGMENTS (ss-tile groups) into static
+        # [ss*C + 8]-row blocks — one contiguous dynamic_slice per GROUP
+        # (g/ss unrolled ops, ~1-2 us each), NOT a per-row gather and not a
+        # slice per tile. VMEM per grid step is the group block, independent
+        # of the stream length; tiles window their segment inside the block.
+        ss = 8
+        ssc = ss * c + 8
+        n_groups = -(-g // ss)
         seg_ids = jnp.stack(
-            [jax.lax.dynamic_slice(ids_p, (starts[i],), (c,)) for i in range(g)]
-        ).reshape(g * c, 1)
+            [jax.lax.dynamic_slice(ids_p, (starts[j * ss],), (ssc,))
+             for j in range(n_groups)]
+        ).reshape(n_groups * ssc, 1)
         seg_upd = jnp.concatenate(
-            [jax.lax.dynamic_slice(upd_p, (starts[i], 0), (c, w)) for i in range(g)]
+            [jax.lax.dynamic_slice(upd_p, (starts[j * ss], 0), (ssc, w))
+             for j in range(n_groups)]
         )
+        # group-relative starts so the kernel's offset math stays in-block
         return pl.pallas_call(
-            functools.partial(_scatter_tile_kernel, tr=tr, c=c),
+            functools.partial(_scatter_tile_kernel, tr=tr, c=c, ss=ss),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(g,),
                 in_specs=[
-                    pl.BlockSpec((c, 1), lambda i, s: (i, 0)),
-                    pl.BlockSpec((c, w), lambda i, s: (i, 0)),
+                    pl.BlockSpec((ssc, 1), lambda i, s: (i // ss, 0)),
+                    pl.BlockSpec((ssc, w), lambda i, s: (i // ss, 0)),
                 ],
                 out_specs=pl.BlockSpec((w, tr), lambda i, s: (0, i)),
             ),

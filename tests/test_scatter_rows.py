@@ -70,3 +70,25 @@ def test_unsorted_duplicate_boundary_ids():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), _ref(ids, upd, v), rtol=1e-6)
+
+
+def test_repack_placement_matches_resident():
+    """The super-segment repack form (large-stream regime) produces the same
+    dense result as the resident form and the numpy reference."""
+    import numpy as np
+
+    from rectpu.ops.scatter_rows import scatter_rows_dense
+
+    rng = np.random.default_rng(9)
+    v, w, r = 64 * 20, 3, 700
+    ids = jnp.asarray(rng.integers(0, v, size=r).astype(np.int32))
+    upd = jnp.asarray(rng.normal(size=(r, w)).astype(np.float32))
+    want = np.zeros((v, w), np.float32)
+    np.add.at(want, np.asarray(ids), np.asarray(upd))
+    for placement in ("resident", "repack"):
+        got = scatter_rows_dense(
+            ids, upd, v, tile_rows=64, capacity=96, interpret=True,
+            stream_placement=placement,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5,
+                                   err_msg=placement)
