@@ -57,8 +57,34 @@ class DNNModel:
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
         cfg = self.cfg
-        emb = self.input_layer(params, batch, lookup_fn)
-        flat = emb.reshape(emb.shape[0], -1)
+        if (
+            cfg.flat_layout
+            and cfg.num_numeric == 0
+            and (lookup_fn is None or getattr(lookup_fn, "flat_variant", None))
+        ):
+            # lane-packed input: [B, F*K] IS the MLP input — no [B, F, K]
+            # tile padding, no flatten relayout (same trick as DeepFM's
+            # flat path; the [V, K] table has no linear column)
+            from rectpu.ops.embedding import lookup_flat
+
+            fs = cfg.feature_set
+            field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+            flat_fn = getattr(lookup_fn, "flat_variant", None)
+            if flat_fn is not None:
+                flat, _ = flat_fn(params["emb"], batch["cat_ids"], has_lin=False)
+            else:
+                flat, _ = lookup_flat(
+                    params["emb"], batch["cat_ids"], field_info,
+                    cfg.embedding_size,
+                    small_threshold=cfg.split_threshold,
+                    gather_dtype=cfg.jnp_compute_dtype,
+                    grad_dtype=cfg.jnp_table_grad_dtype,
+                    scatter_impl=cfg.scatter_impl,
+                    dense_threshold=cfg.mxu_dense_threshold,
+                )
+        else:
+            emb = self.input_layer(params, batch, lookup_fn)
+            flat = emb.reshape(emb.shape[0], -1)
         logit = apply_mlp(
             params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
             compute_dtype=cfg.jnp_compute_dtype,

@@ -38,17 +38,43 @@ class WideDeepModel:
 
         # fused gather: [V, K+1] = [emb | linear w] (see TowerConfig.fuse_linear_lookup)
         aug = jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
-        looked = lookup_fields(aug, batch, cfg, lookup_fn)  # [B, F, K+1]
-        emb = looked[..., : cfg.embedding_size]
-        wide = looked[..., cfg.embedding_size].astype(jnp.float32).sum(axis=-1)
-        wide = wide + params["linear"]["b"]
-        tower = params["linear"]
-        if "w_num" in tower and batch.get("num_vals") is not None:
-            wide = wide + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
-        if cfg.num_numeric:
-            num = numeric_field_embeddings(params["num_emb"], batch, cfg)
-            emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
-        flat = emb.reshape(emb.shape[0], -1)
+        if (
+            cfg.flat_layout
+            and cfg.num_numeric == 0
+            and (lookup_fn is None or getattr(lookup_fn, "flat_variant", None))
+        ):
+            # lane-packed: one lookup yields the MLP input [B, F*K] AND the
+            # summed wide logit (the packed linear column) — same flat path
+            # as DeepFM's, minus the FM tower
+            from rectpu.ops.embedding import lookup_flat
+
+            fs = cfg.feature_set
+            field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+            flat_fn = getattr(lookup_fn, "flat_variant", None)
+            if flat_fn is not None:
+                flat, wide = flat_fn(aug, batch["cat_ids"])
+            else:
+                flat, wide = lookup_flat(
+                    aug, batch["cat_ids"], field_info, cfg.embedding_size,
+                    small_threshold=cfg.split_threshold,
+                    gather_dtype=cfg.jnp_compute_dtype,
+                    grad_dtype=cfg.jnp_table_grad_dtype,
+                    scatter_impl=cfg.scatter_impl,
+                    dense_threshold=cfg.mxu_dense_threshold,
+                )
+            wide = wide + params["linear"]["b"]
+        else:
+            looked = lookup_fields(aug, batch, cfg, lookup_fn)  # [B, F, K+1]
+            emb = looked[..., : cfg.embedding_size]
+            wide = looked[..., cfg.embedding_size].astype(jnp.float32).sum(axis=-1)
+            wide = wide + params["linear"]["b"]
+            tower = params["linear"]
+            if "w_num" in tower and batch.get("num_vals") is not None:
+                wide = wide + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
+            if cfg.num_numeric:
+                num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+                emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
+            flat = emb.reshape(emb.shape[0], -1)
         deep = apply_mlp(
             params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
             compute_dtype=cfg.jnp_compute_dtype,

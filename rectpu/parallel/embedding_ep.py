@@ -221,40 +221,48 @@ def make_ep_lookup_2d_flat(mesh: Mesh):
     'data') for free.
     """
 
-    def local_lookup(table_shard, ids_local):
-        # table_shard: [V/m, K+1]; ids_local: [B/(d*m), F] of GLOBAL row ids
-        ids_full = jax.lax.all_gather(
-            ids_local.astype(jnp.int32), MODEL_AXIS, axis=0, tiled=True
-        )  # [B/d, F]
-        m = jax.lax.axis_index(MODEL_AXIS)
-        v_shard = table_shard.shape[0]
-        k = table_shard.shape[1] - 1
-        b, f_total = ids_full.shape
-        local = ids_full - m * v_shard
-        in_range = (local >= 0) & (local < v_shard)
-        safe = jnp.where(in_range, local, 0)
+    def make_local(has_lin):
+        def local_lookup(table_shard, ids_local):
+            # table_shard: [V/m, K(+1)]; ids_local: [B/(d*m), F] of GLOBAL ids
+            ids_full = jax.lax.all_gather(
+                ids_local.astype(jnp.int32), MODEL_AXIS, axis=0, tiled=True
+            )  # [B/d, F]
+            m = jax.lax.axis_index(MODEL_AXIS)
+            v_shard = table_shard.shape[0]
+            k = table_shard.shape[1] - (1 if has_lin else 0)
+            b, f_total = ids_full.shape
+            local = ids_full - m * v_shard
+            in_range = (local >= 0) & (local < v_shard)
+            safe = jnp.where(in_range, local, 0)
 
-        emb_flat = jnp.zeros((b, f_total * k), table_shard.dtype)
-        lin = jnp.zeros((b,), jnp.float32)
-        for f in range(f_total):
-            piece = jnp.take(table_shard, safe[:, f], axis=0)  # [B/d, K+1]
-            piece = jnp.where(in_range[:, f, None], piece, jnp.zeros_like(piece))
-            emb_flat = jax.lax.dynamic_update_slice(
-                emb_flat, piece[:, :k], (0, f * k)
+            emb_flat = jnp.zeros((b, f_total * k), table_shard.dtype)
+            lin = jnp.zeros((b,), jnp.float32)
+            for f in range(f_total):
+                piece = jnp.take(table_shard, safe[:, f], axis=0)  # [B/d, K(+1)]
+                piece = jnp.where(in_range[:, f, None], piece, jnp.zeros_like(piece))
+                emb_flat = jax.lax.dynamic_update_slice(
+                    emb_flat, piece[:, :k], (0, f * k)
+                )
+                if has_lin:
+                    lin = lin + piece[:, k].astype(jnp.float32)
+            emb_flat = jax.lax.psum_scatter(
+                emb_flat, MODEL_AXIS, scatter_dimension=0, tiled=True
             )
-            lin = lin + piece[:, k].astype(jnp.float32)
-        emb_flat = jax.lax.psum_scatter(
-            emb_flat, MODEL_AXIS, scatter_dimension=0, tiled=True
-        )
-        lin = jax.lax.psum_scatter(lin, MODEL_AXIS, scatter_dimension=0, tiled=True)
-        return emb_flat, lin
+            lin = jax.lax.psum_scatter(lin, MODEL_AXIS, scatter_dimension=0, tiled=True)
+            return emb_flat, lin
 
-    def lookup(table, ids):
-        return shard_map(
-            local_lookup,
+        return local_lookup
+
+    def lookup(table, ids, has_lin=True):
+        """``has_lin``: the table's last column is the folded linear weight
+        (packed DeepFM / fused Wide&Deep); False for plain [V, K] tables
+        (DNN), where the returned lin is zeros."""
+        emb_flat, lin = shard_map(
+            make_local(has_lin),
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
             out_specs=(P((DATA_AXIS, MODEL_AXIS), None), P((DATA_AXIS, MODEL_AXIS))),
         )(table, ids)
+        return emb_flat, (lin if has_lin else None)
 
     return lookup

@@ -90,6 +90,18 @@ def add_deep_args(parser: ArgumentParser) -> None:
                         help="hidden layer specification (default: %(default)s)")
     parser.add_argument("--dropout", type=float, default=0.1,
                         help="dropout rate (default: %(default)s)")
+    parser.add_argument("--flat-layout", action="store_true",
+                        help="lane-packed [B, F*K] looked activations: no "
+                             "[B, F, K+1] tile padding anywhere in the "
+                             "lookup->towers chain; with --ep-mode 2d the "
+                             "sharded lookup upgrades to a lane-packed "
+                             "exchange (half the reduce_scatter bytes); "
+                             "incompatible with --numeric-columns")
+    parser.add_argument("--scatter-impl", choices=["xla", "mxu"], default="xla",
+                        help="flat-layout table-cotangent builder: 'mxu' rebuilds "
+                             "the dense grad with sorted one-hot MXU matmuls "
+                             "(ops/scatter_rows) instead of XLA's serial scatter; "
+                             "sets table_padding=2048 for an exact tile grid")
 
 
 def build_trainer(args, model, optimizer=None):

@@ -84,18 +84,6 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--packed-linear", action="store_true",
                         help="store the fused [V, K+1] embedding+linear table as one "
                              "parameter (skips the per-step concat)")
-    parser.add_argument("--flat-layout", action="store_true",
-                        help="lane-packed [B, F*K] looked activations (implies "
-                             "--packed-linear): avoids the [B, F, K+1] tile padding "
-                             "everywhere in the lookup->FM->DNN chain; with "
-                             "--ep-mode 2d the sharded lookup upgrades to a "
-                             "lane-packed exchange (half the reduce_scatter "
-                             "bytes); incompatible with --numeric-columns")
-    parser.add_argument("--scatter-impl", choices=["xla", "mxu"], default="xla",
-                        help="flat-layout table-cotangent builder: 'mxu' rebuilds "
-                             "the dense grad with sorted one-hot MXU matmuls "
-                             "(ops/scatter_rows) instead of XLA's serial scatter; "
-                             "sets table_padding=2048 for an exact tile grid")
     return parser
 
 

@@ -184,3 +184,76 @@ def test_deepfm_flat_trains(setup):
         params, state, loss = step(params, state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.05, losses[::10]
+
+
+@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
+def test_dnn_flat_matches_standard(scatter_impl):
+    """DNN: flat_layout logits and emb-table grads match the 3D path
+    ([B, F*K] is exactly the MLP input; no linear column)."""
+    from rectpu.models.dnn import DNNModel
+
+    fs = ml_100k_feature_set()
+    kwargs = dict(feature_set=fs, embedding_size=8, hidden_units=(16, 16),
+                  split_threshold=1500)
+    m_std = DNNModel(TowerConfig(**kwargs))
+    m_flat = DNNModel(TowerConfig(flat_layout=True, scatter_impl=scatter_impl,
+                                  **kwargs))
+    params = m_std.init(jax.random.PRNGKey(0))
+    batch = _batch(fs, 64, 21)
+
+    def logits(model):
+        return model.apply(params, batch, train=False)
+
+    np.testing.assert_allclose(np.asarray(logits(m_std)), np.asarray(logits(m_flat)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        out = model.apply(p, batch, train=False)
+        return jnp.mean((out - batch["labels"]) ** 2)
+
+    g_std = jax.grad(lambda p: loss(m_std, p))(params)
+    g_flat = jax.grad(lambda p: loss(m_flat, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-6),
+        g_std, g_flat,
+    )
+
+
+@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
+def test_wide_deep_flat_matches_standard(scatter_impl):
+    """Wide&Deep: flat_layout (one lookup -> MLP input + summed wide logit)
+    matches the fused 3D path, logits and grads incl. the linear weights."""
+    from rectpu.models.wide_deep import WideDeepModel
+
+    fs = ml_100k_feature_set()
+    kwargs = dict(feature_set=fs, embedding_size=8, hidden_units=(16, 16),
+                  split_threshold=1500)
+    m_std = WideDeepModel(TowerConfig(**kwargs))
+    m_flat = WideDeepModel(TowerConfig(flat_layout=True, scatter_impl=scatter_impl,
+                                       **kwargs))
+    params = m_std.init(jax.random.PRNGKey(1))
+    # non-zero linear weights so the wide-path grad check is meaningful
+    params["linear"]["w"] = jnp.asarray(
+        np.random.default_rng(5).normal(size=params["linear"]["w"].shape)
+        .astype(np.float32) * 0.1
+    )
+    batch = _batch(fs, 64, 22)
+
+    def logits(model):
+        return model.apply(params, batch, train=False)
+
+    np.testing.assert_allclose(np.asarray(logits(m_std)), np.asarray(logits(m_flat)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        out = model.apply(p, batch, train=False)
+        return jnp.mean((out - batch["labels"]) ** 2)
+
+    g_std = jax.grad(lambda p: loss(m_std, p))(params)
+    g_flat = jax.grad(lambda p: loss(m_flat, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-6),
+        g_std, g_flat,
+    )
