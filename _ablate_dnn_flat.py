@@ -7,9 +7,9 @@ from bench import random_superbatch, scaled_feature_set
 from rectpu.models import TowerConfig
 from rectpu.models.dnn import DNNModel
 from rectpu.train.metrics import sigmoid_xent
-from rectpu.train.optimizers import adagrad
+from rectpu.train.optimizers import BF16_SR, adagrad
 
-def run(flat, steps=200, batch=8192):
+def run(flat, sr=False, steps=200, batch=8192):
     fs = scaled_feature_set()
     cfg = TowerConfig(
         feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
@@ -20,7 +20,7 @@ def run(flat, steps=200, batch=8192):
     )
     model = DNNModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    optimizer = adagrad(learning_rate=0.05)
+    optimizer = adagrad(learning_rate=0.05, slot_dtype=BF16_SR if sr else None)
     opt_state = optimizer.init(params)
     rng = jax.random.PRNGKey(1)
 
@@ -46,7 +46,7 @@ def run(flat, steps=200, batch=8192):
         p, o, loss = fj(p, o, jnp.asarray(i, jnp.int32), staged[i % 4])
     jax.block_until_ready(loss)
     dt = time.time() - t0
-    print(f"dnn flat={flat}: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
+    print(f"dnn flat={flat} sr={sr}: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
-for a in sys.argv[1:] or ["0", "1"]:
-    run(a == "1")
+for a in sys.argv[1:] or ["0", "1", "1sr"]:
+    run(a.startswith("1"), sr=a.endswith("sr"))

@@ -203,23 +203,63 @@ def adam(
     return Optimizer("Adam", init, update)
 
 
-def adagrad(learning_rate: float = 0.001, initial_accumulator_value: float = 0.1) -> Optimizer:
+def adagrad(
+    learning_rate: float = 0.001,
+    initial_accumulator_value: float = 0.1,
+    slot_dtype=None,
+) -> Optimizer:
     """tf.train.AdagradOptimizer: accumulator starts at 0.1 (TF default),
-    p -= lr * g / sqrt(acc)."""
+    p -= lr * g / sqrt(acc).
+
+    ``slot_dtype`` stores the accumulator reduced (fp32 math). Like Adam's v
+    slot, the g^2 increments shrink below bf16 ulp/2 as acc grows, so plain
+    bf16 stalls the accumulator — use BF16_SR (stochastic rounding; adds a
+    step counter to the state for the rounding seed)."""
+    st = jnp.bfloat16 if slot_dtype == BF16_SR else slot_dtype
 
     def init(params):
-        return {
+        state = {
             "acc": jax.tree.map(
-                lambda p: jnp.full_like(p, initial_accumulator_value), params
+                lambda p: jnp.full_like(
+                    p, initial_accumulator_value,
+                    dtype=st if st is not None else None,
+                ),
+                params,
             )
         }
+        if slot_dtype == BF16_SR:
+            state["t"] = jnp.zeros((), jnp.int32)
+        return state
 
     def update(grads, state, params):
-        acc = jax.tree.map(lambda a, g: a + g * g, state["acc"], grads)
+        t = state.get("t")
+        if t is not None:
+            t = t + 1
+
+        def up(a):
+            return a.astype(jnp.float32) if slot_dtype is not None else a
+
+        def down(a):
+            if slot_dtype == BF16_SR:
+                return stochastic_round_bf16(a, t)
+            return a.astype(slot_dtype) if slot_dtype is not None else a
+
+        if slot_dtype is None:
+            acc = jax.tree.map(lambda a, g: a + g * g, state["acc"], grads)
+        else:
+            acc = jax.tree.map(
+                lambda a, g: down(up(a) + g.astype(jnp.float32) * g),
+                state["acc"], grads,
+            )
+        # param update reads the STORED accumulator (dtype round-trip), like
+        # adam's slot contract
         new_params = jax.tree.map(
-            lambda p, g, a: p - learning_rate * g / jnp.sqrt(a), params, grads, acc
+            lambda p, g, a: p - learning_rate * g / jnp.sqrt(up(a)), params, grads, acc
         )
-        return new_params, {"acc": acc}
+        new_state = {"acc": acc}
+        if t is not None:
+            new_state["t"] = t
+        return new_params, new_state
 
     return Optimizer("Adagrad", init, update)
 
@@ -335,9 +375,14 @@ def get_optimizer(
 ) -> Optimizer:
     """Name-based factory (ref trainers/model_utils.py:57-66).
 
-    ``slot_dtype`` requests reduced-precision optimizer slots (Adam only)."""
+    ``slot_dtype`` requests reduced-precision optimizer slots (Adam and
+    Adagrad)."""
     if slot_dtype is not None:
-        if optimizer_name != "Adam":
-            raise ValueError(f"slot_dtype is only supported for Adam, got {optimizer_name}")
-        return adam(learning_rate=learning_rate, slot_dtype=slot_dtype)
+        if optimizer_name == "Adam":
+            return adam(learning_rate=learning_rate, slot_dtype=slot_dtype)
+        if optimizer_name == "Adagrad":
+            return adagrad(learning_rate=learning_rate, slot_dtype=slot_dtype)
+        raise ValueError(
+            f"slot_dtype is only supported for Adam/Adagrad, got {optimizer_name}"
+        )
     return _REGISTRY[optimizer_name](learning_rate=learning_rate)

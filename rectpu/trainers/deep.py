@@ -25,13 +25,26 @@ def train_and_evaluate(args):
         scatter_impl=args.scatter_impl,
         table_padding=2048 if args.scatter_impl == "mxu" else 128,
     )
-    return run(args, DNNModel(cfg))
+    optimizer = None
+    if args.acc_dtype:
+        from rectpu.train.optimizers import BF16_SR, adagrad
+
+        optimizer = adagrad(
+            learning_rate=0.05,
+            slot_dtype=BF16_SR if args.acc_dtype == "bfloat16-sr" else None,
+        )
+    return run(args, DNNModel(cfg), optimizer)
 
 
 def build_parser() -> ArgumentParser:
     parser = ArgumentParser()
     add_common_args(parser, job_dir_default="checkpoints/deep")
     add_deep_args(parser)
+    parser.add_argument("--acc-dtype", default=None, choices=[None, "bfloat16-sr"],
+                        help="Adagrad accumulator storage: bfloat16-sr halves its "
+                             "memory traffic via stochastic rounding (plain bf16 "
+                             "would stall the accumulator); default float32 = "
+                             "exact TF semantics")
     return parser
 
 

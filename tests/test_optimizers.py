@@ -213,3 +213,41 @@ def test_adam_bf16_params_deterministic():
         return np.asarray(p["w"], np.float32)
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_adagrad_bf16_sr_acc_tracks_fp32():
+    """Adagrad with a stochastically-rounded bf16 accumulator tracks the
+    fp32 trajectory (unbiased mean) and keeps accumulating where plain bf16
+    would stall."""
+    from rectpu.train.optimizers import BF16_SR, adagrad
+
+    rng = np.random.default_rng(4)
+    n = 512
+    g_seq = [rng.normal(size=n).astype(np.float32) for _ in range(30)]
+
+    ref_opt = adagrad(0.05)
+    sr_opt = adagrad(0.05, slot_dtype=BF16_SR)
+    p_ref = {"w": jnp.ones((n,), jnp.float32)}
+    p_sr = {"w": jnp.ones((n,), jnp.float32)}
+    s_ref, s_sr = ref_opt.init(p_ref), sr_opt.init(p_sr)
+    assert s_sr["acc"]["w"].dtype == jnp.bfloat16
+    for g in g_seq:
+        p_ref, s_ref = ref_opt.update({"w": jnp.asarray(g)}, s_ref, p_ref)
+        p_sr, s_sr = sr_opt.update({"w": jnp.asarray(g)}, s_sr, p_sr)
+    a = np.asarray(p_sr["w"], np.float64)
+    b = np.asarray(p_ref["w"], np.float64)
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.02)
+    assert abs(float(np.mean(a - b))) < 5e-3
+    # accumulator still grows (no bf16 stall): after 30 steps of unit-scale
+    # grads, acc >> its 0.1 init everywhere
+    assert float(np.asarray(s_sr["acc"]["w"], np.float32).min()) > 1.0
+
+
+def test_get_optimizer_adagrad_slot_dtype():
+    import pytest
+
+    from rectpu.train.optimizers import BF16_SR, get_optimizer
+
+    assert get_optimizer("Adagrad", 0.05, slot_dtype=BF16_SR).name == "Adagrad"
+    with pytest.raises(ValueError):
+        get_optimizer("Ftrl", 0.01, slot_dtype=jnp.bfloat16)
