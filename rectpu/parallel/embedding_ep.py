@@ -21,7 +21,6 @@ Three exchange strategies, cheapest-first for this model family:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
