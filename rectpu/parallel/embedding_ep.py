@@ -110,13 +110,33 @@ def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
 
     def local_lookup(table_shard, ids_local):
         # table_shard: [V/m, K]; ids_local: [B/(d*m), F] of GLOBAL row ids
-        v_shard = table_shard.shape[0]
         b_loc, f = ids_local.shape
-        n = b_loc * f
+        flat_ids = ids_local.reshape(-1).astype(jnp.int32)
+        emb = _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity)
+        return emb.reshape(b_loc, f, -1)
+
+    def lookup(table, ids):
+        return shard_map(
+            local_lookup,
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
+            out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+        )(table, ids)
+
+    return lookup
+
+
+def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity):
+    """Shared dedup all_to_all core: [n] GLOBAL ids -> [n, W] rows, in the
+    caller's ordering (see make_ep_lookup_dedup for the algorithm and the
+    capacity contract)."""
+    if True:
+        v_shard = table_shard.shape[0]
+        n = flat_ids.shape[0]
         m_count = n_model
         cap = peer_capacity if peer_capacity is not None else min(n, v_shard)
 
-        flat = ids_local.reshape(-1).astype(jnp.int32)
+        flat = flat_ids
         order = jnp.argsort(flat)
         sorted_ids = flat[order]
         is_first = jnp.concatenate(
@@ -161,15 +181,51 @@ def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
             jnp.take(resp_back, jnp.where(valid_send[inv], my_addr, 0), axis=0),
             0.0,
         )
-        return emb.reshape(b_loc, f, -1)
+        return emb
 
-    def lookup(table, ids):
-        return shard_map(
-            local_lookup,
+
+def make_ep_lookup_dedup_flat(mesh: Mesh, peer_capacity: int | None = None):
+    """Dedup all_to_all exchange emitting the LANE-PACKED flat layout.
+
+    Same wire traffic as ``make_ep_lookup_dedup`` (the exchange moves
+    deduplicated rows either way); the difference is purely local: the ids
+    flatten FIELD-major, so each field's expanded rows are contiguous and
+    write straight into their [B, F*K] column slots (plus the folded linear
+    partial when ``has_lin``) — no [B, F, K+1] tile-padded tensor is ever
+    materialized, and the towers consume flat activations directly
+    (models/*._apply_flat / the flat DNN input).
+    """
+
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def make_local(has_lin):
+        def local_lookup(table_shard, ids_local):
+            b_loc, f_total = ids_local.shape
+            k = table_shard.shape[1] - (1 if has_lin else 0)
+            # field-major flatten: rows of field f land at [f*B, (f+1)*B)
+            flat_ids = ids_local.T.reshape(-1).astype(jnp.int32)
+            rows = _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity)
+            emb_flat = jnp.zeros((b_loc, f_total * k), table_shard.dtype)
+            lin = jnp.zeros((b_loc,), jnp.float32)
+            for f in range(f_total):
+                piece = rows[f * b_loc:(f + 1) * b_loc]  # [B, K(+1)]
+                emb_flat = jax.lax.dynamic_update_slice(
+                    emb_flat, piece[:, :k].astype(emb_flat.dtype), (0, f * k)
+                )
+                if has_lin:
+                    lin = lin + piece[:, k].astype(jnp.float32)
+            return emb_flat, lin
+
+        return local_lookup
+
+    def lookup(table, ids, has_lin=True):
+        emb_flat, lin = shard_map(
+            make_local(has_lin),
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
-            out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+            out_specs=(P((DATA_AXIS, MODEL_AXIS), None), P((DATA_AXIS, MODEL_AXIS))),
         )(table, ids)
+        return emb_flat, (lin if has_lin else None)
 
     return lookup
 

@@ -23,6 +23,7 @@ from rectpu.parallel.embedding_ep import (
     make_ep_lookup_2d,
     make_ep_lookup_2d_flat,
     make_ep_lookup_dedup,
+    make_ep_lookup_dedup_flat,
 )
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 
@@ -55,6 +56,7 @@ class ParallelPlan:
             lookup_fn.flat_variant = make_ep_lookup_2d_flat(mesh)
         elif ep_mode == "dedup":
             lookup_fn = make_ep_lookup_dedup(mesh)
+            lookup_fn.flat_variant = make_ep_lookup_dedup_flat(mesh)
         else:
             lookup_fn = make_ep_lookup(mesh)
         return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
