@@ -8,13 +8,14 @@ from rectpu.models import TowerConfig
 from rectpu.models.wide_deep import WideDeepModel
 from rectpu.train.metrics import sigmoid_xent
 
-def run(flat, steps=200, batch=8192):
+def run(flat, packed=False, steps=200, batch=8192):
     fs = scaled_feature_set()
     cfg = TowerConfig(
         feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
         compute_dtype="bfloat16", table_padding=2048 if flat else 128,
         table_grad_dtype="bfloat16", flat_layout=flat,
         scatter_impl="mxu" if flat else "xla",
+        packed_linear=packed,
     )
     model = WideDeepModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -44,7 +45,7 @@ def run(flat, steps=200, batch=8192):
         p, o, loss = fj(p, o, jnp.asarray(i, jnp.int32), staged[i % 4])
     jax.block_until_ready(loss)
     dt = time.time() - t0
-    print(f"wd flat={flat}: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
+    print(f"wd flat={flat} packed={packed}: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
-for a in sys.argv[1:] or ["0", "1"]:
-    run(a == "1")
+for a in sys.argv[1:] or ["0", "1", "1p"]:
+    run(a.startswith("1"), packed=a.endswith("p"))

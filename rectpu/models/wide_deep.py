@@ -19,10 +19,22 @@ class WideDeepModel:
     def __init__(self, cfg: TowerConfig):
         self.cfg = cfg
         self._dnn = DNNModel(cfg)
+        # packed mode (cfg.packed_linear): ONE [V, K+1] table parameter fuses
+        # the deep embeddings and the wide per-bucket weights, so the fused
+        # forward reads it directly instead of concatenating two params every
+        # step (~a table-sized copy); the per-tower TF update rules move into
+        # optimizers.packed_wide_deep (column-split on the single leaf)
+        self.packed = cfg.packed_linear and cfg.fuse_linear_lookup
 
     def init(self, rng) -> dict:
+        import jax.numpy as jnp
+
         params = self._dnn.init(rng)
         params["linear"] = init_linear_tower(self.cfg)
+        if self.packed:
+            emb = params.pop("emb")
+            w = params["linear"].pop("w")
+            params["table"] = jnp.concatenate([emb, w[:, None].astype(emb.dtype)], axis=1)
         return params
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
@@ -36,8 +48,12 @@ class WideDeepModel:
             deep = self._dnn.apply(params, batch, train=train, rng=rng, lookup_fn=lookup_fn)
             return wide + deep
 
-        # fused gather: [V, K+1] = [emb | linear w] (see TowerConfig.fuse_linear_lookup)
-        aug = jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
+        # fused gather: [V, K+1] = [emb | linear w] (see TowerConfig.fuse_linear_lookup);
+        # in packed mode the fused table IS the parameter — no per-step concat
+        if self.packed:
+            aug = params["table"]
+        else:
+            aug = jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
         if (
             cfg.flat_layout
             and cfg.num_numeric == 0
@@ -85,9 +101,11 @@ class WideDeepModel:
         """Joint training with per-tower optimizers, like the canned estimator."""
         import math
 
-        from rectpu.train.optimizers import adagrad, ftrl, per_subtree
+        from rectpu.train.optimizers import adagrad, ftrl, packed_wide_deep, per_subtree
 
         lr_linear = min(0.2, 1.0 / math.sqrt(self.cfg.num_fields + self.cfg.num_numeric))
+        if self.packed:
+            return packed_wide_deep(self.cfg.embedding_size, lr_linear)
         return per_subtree(
             {"linear": ftrl(learning_rate=lr_linear)},
             default=adagrad(learning_rate=0.05),

@@ -386,3 +386,78 @@ def get_optimizer(
             f"slot_dtype is only supported for Adam/Adagrad, got {optimizer_name}"
         )
     return _REGISTRY[optimizer_name](learning_rate=learning_rate)
+
+
+def packed_wide_deep(
+    embedding_size: int,
+    linear_lr: float,
+    deep_lr: float = 0.05,
+) -> Optimizer:
+    """Column-split optimizer for Wide&Deep's PACKED [V, K+1] table.
+
+    The packed table fuses the deep tower's embeddings (columns [:K],
+    Adagrad) with the wide tower's per-bucket weights (column K, FTRL) into
+    one parameter so the forward needs no per-step [V, K+1] concat (see
+    WideDeepModel packed mode). This optimizer applies each tower's TF
+    update rule to its columns of the single leaf — the recombining concat
+    fuses into the parameter write XLA performs anyway. Non-table leaves:
+    FTRL for the 'linear' subtree remainder (bias, numeric weights),
+    Adagrad for everything else — identical update math to the unpacked
+    per_subtree({linear: ftrl}, adagrad) arrangement.
+    """
+    k = embedding_size
+    ada = adagrad(learning_rate=deep_lr)
+    ft = ftrl(learning_rate=linear_lr)
+
+    def split(tree):
+        table = tree.pop("table")
+        return table, tree
+
+    def init(params):
+        params = dict(params)
+        table, rest = split(params)
+        state = {
+            "acc": jnp.full_like(table[:, :k], 0.1),
+            "n": jnp.full_like(table[:, k], 0.1),
+            "z": jnp.zeros_like(table[:, k]),
+            "linear": ft.init(rest.get("linear", {})),
+            "rest": ada.init({kk: v for kk, v in rest.items() if kk != "linear"}),
+        }
+        return state
+
+    def update(grads, state, params):
+        params = dict(params)
+        grads = dict(grads)
+        table, p_rest = split(params)
+        g_table, g_rest = split(grads)
+
+        # deep columns: Adagrad
+        acc = state["acc"] + g_table[:, :k] * g_table[:, :k]
+        emb_new = table[:, :k] - deep_lr * g_table[:, :k] / jnp.sqrt(acc)
+        # wide column: FTRL-proximal (TF defaults, l1=l2=0)
+        g_w = g_table[:, k]
+        w = table[:, k]
+        n_new = state["n"] + g_w * g_w
+        sigma = (jnp.sqrt(n_new) - jnp.sqrt(state["n"])) / linear_lr
+        z_new = state["z"] + g_w - sigma * w
+        w_new = -z_new / (jnp.sqrt(n_new) / linear_lr)
+
+        new_table = jnp.concatenate([emb_new, w_new[:, None]], axis=1)
+
+        lin_p, lin_s = ft.update(
+            g_rest.get("linear", {}), state["linear"], p_rest.get("linear", {})
+        )
+        other_g = {kk: v for kk, v in g_rest.items() if kk != "linear"}
+        other_p = {kk: v for kk, v in p_rest.items() if kk != "linear"}
+        rest_p, rest_s = ada.update(other_g, state["rest"], other_p)
+
+        new_params = {"table": new_table, **rest_p}
+        if lin_p:
+            new_params["linear"] = lin_p
+        new_state = {
+            "acc": acc, "n": n_new, "z": z_new,
+            "linear": lin_s, "rest": rest_s,
+        }
+        return new_params, new_state
+
+    return Optimizer("PackedWideDeep(Ftrl+Adagrad)", init, update)

@@ -23,6 +23,7 @@ def train_and_evaluate(args):
         table_grad_dtype=args.table_grad_dtype,
         table_dtype=args.table_dtype,
         flat_layout=args.flat_layout,
+        packed_linear=args.packed_linear,
         scatter_impl=args.scatter_impl,
         table_padding=2048 if args.scatter_impl == "mxu" else 128,
     )
@@ -33,6 +34,10 @@ def build_parser() -> ArgumentParser:
     parser = ArgumentParser()
     add_common_args(parser, job_dir_default="checkpoints/linear_deep")
     add_deep_args(parser)
+    parser.add_argument("--packed-linear", action="store_true",
+                        help="store the fused [V, K+1] embedding+wide table as ONE "
+                             "parameter (skips the per-step concat; per-tower "
+                             "FTRL/Adagrad updates apply column-wise)")
     return parser
 
 
