@@ -47,8 +47,16 @@ class DataState:
     seed: int = 0
 
 
-def read_csv_columns(csv_path: str | Path, columns: list[str]) -> dict:
-    """Read a CSV into {column -> np array}, applying schema defaults."""
+def read_csv_columns(csv_path: str | Path, columns: list[str],
+                     float_cols: set | frozenset = frozenset()) -> dict:
+    """Read a CSV into {column -> np array}, applying schema defaults.
+
+    ``float_cols``: columns consumed as raw floats (NumericFeature) — parsed
+    float64 so fractional values survive (the int64 default matches TF's
+    typed record_defaults for id/bucket columns AND keeps integer hashing
+    exact: hash_bucket stringifies ints decimally, so a float dtype would
+    hash "3.0" instead of "3"; the native parser strtod's numeric columns
+    the same way — see csv_loader.cc)."""
     import pandas as pd
 
     # string columns must stay strings: pandas would otherwise parse "03364"
@@ -58,20 +66,21 @@ def read_csv_columns(csv_path: str | Path, columns: list[str]) -> dict:
     out = {}
     for col in columns:
         default = column_default(col)
+        num_dtype = np.float64 if col in float_cols else np.int64
         if col in df.columns:
             s = df[col]
             if is_string_column(col):
                 arr = s.fillna(str(default)).astype(str).to_numpy()
             else:
                 arr = (
-                    pd.to_numeric(s, errors="coerce").fillna(default).to_numpy(dtype=np.int64)
+                    pd.to_numeric(s, errors="coerce").fillna(default).to_numpy(dtype=num_dtype)
                 )
         else:
             n = len(df)
             if is_string_column(col):
                 arr = np.full(n, str(default), dtype=object)
             else:
-                arr = np.full(n, default, dtype=np.int64)
+                arr = np.full(n, default, dtype=num_dtype)
         out[col] = arr
     return out
 
@@ -114,7 +123,10 @@ class CsvDataset:
             self.num_vals = enc["num_vals"]
             self.labels = enc["labels"]
         else:
-            columns = read_csv_columns(csv_path, needed + [label_col])
+            columns = read_csv_columns(
+                csv_path, needed + [label_col],
+                float_cols={f.name for f in feature_set.numeric},
+            )
             batch = feature_set.encode(columns)
             self.cat_ids = batch["cat_ids"]
             self.num_vals = batch.get(
@@ -284,7 +296,7 @@ class StreamingCsvDataset:
         aware: newlines inside quoted fields do not split rows)."""
         offsets = []
         n_rows = 0
-        in_quotes = False
+        quotes_so_far = 0  # parity tracks the quoted-field state across blocks
         header_end = None
         file_pos = 0
         pending_row_start = None  # byte offset where the next row starts
@@ -293,40 +305,30 @@ class StreamingCsvDataset:
                 block = f.read(block_size)
                 if not block:
                     break
-                if b'"' not in block and not in_quotes:
-                    # fast path: every newline ends a row
-                    start = 0
-                    while True:
-                        nl = block.find(b"\n", start)
-                        if nl < 0:
-                            break
-                        pos = file_pos + nl + 1
-                        if header_end is None:
-                            header_end = pos
-                        else:
-                            if n_rows % self.chunk_rows == 0:
-                                offsets.append(pending_row_start
-                                               if pending_row_start is not None
-                                               else None)
-                            # the row that just ended started at the previous
-                            # row boundary; track the NEXT row's start
-                            n_rows += 1
-                        pending_row_start = pos
-                        start = nl + 1
+                arr = np.frombuffer(block, np.uint8)
+                nl_pos = np.flatnonzero(arr == 0x0A)
+                if quotes_so_far % 2 == 0 and 0x22 not in arr:
+                    row_ends = nl_pos  # fast path: no quotes anywhere
                 else:
-                    for i, byte in enumerate(block):
-                        c = chr(byte)
-                        if c == '"':
-                            in_quotes = not in_quotes
-                        elif c == "\n" and not in_quotes:
-                            pos = file_pos + i + 1
-                            if header_end is None:
-                                header_end = pos
-                            else:
-                                if n_rows % self.chunk_rows == 0:
-                                    offsets.append(pending_row_start)
-                                n_rows += 1
-                            pending_row_start = pos
+                    # quote-parity classification, vectorized: a newline ends
+                    # a row iff an EVEN number of quotes precede it overall
+                    q_pos = np.flatnonzero(arr == 0x22)
+                    before = np.searchsorted(q_pos, nl_pos) + quotes_so_far
+                    row_ends = nl_pos[before % 2 == 0]
+                    quotes_so_far += q_pos.shape[0]
+                for nl in row_ends.tolist():
+                    pos = file_pos + nl + 1
+                    if header_end is None:
+                        header_end = pos
+                    else:
+                        if n_rows % self.chunk_rows == 0:
+                            offsets.append(pending_row_start
+                                           if pending_row_start is not None
+                                           else None)
+                        # the row that just ended started at the previous
+                        # row boundary; track the NEXT row's start
+                        n_rows += 1
+                    pending_row_start = pos
                 file_pos += len(block)
             file_size = file_pos
         # trailing row without newline
@@ -371,7 +373,10 @@ class StreamingCsvDataset:
         needed = [f.name for f in self.feature_set.categorical] + [
             f.name for f in self.feature_set.numeric
         ]
-        columns = read_csv_columns(_io.BytesIO(data), needed + [self.label_col])
+        columns = read_csv_columns(
+            _io.BytesIO(data), needed + [self.label_col],
+            float_cols={f.name for f in self.feature_set.numeric},
+        )
         batch = self.feature_set.encode(columns)
         return {
             "cat_ids": batch["cat_ids"],

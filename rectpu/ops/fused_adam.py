@@ -49,7 +49,7 @@ def _sr_bits(x_f32, idx_u32, seed_u32):
 
 
 def _adam_tile_kernel(sc_ref, t_ref, p_ref, m_ref, v_ref, g_ref, p_out, m_out, v_out,
-                      *, w: int, tr: int, v_sr: bool, p_sr: bool):
+                      *, w: int, tr: int, m_sr: bool, v_sr: bool, p_sr: bool):
     """One [W, TR] tile: p/m/v/g in, updated p/m/v out (fp32 math)."""
     i = pl.program_id(0)
     lr_t = sc_ref[0]
@@ -66,7 +66,7 @@ def _adam_tile_kernel(sc_ref, t_ref, p_ref, m_ref, v_ref, g_ref, p_out, m_out, v
 
     # logical flat index in the [V, W] orientation: row = i*TR + lane (dim 1
     # of this [W, TR] tile), col = sublane (dim 0) -> idx = row*W + col
-    if v_sr or p_sr:
+    if m_sr or v_sr or p_sr:
         lane = jax.lax.broadcasted_iota(jnp.uint32, (w, tr), 1)
         col = jax.lax.broadcasted_iota(jnp.uint32, (w, tr), 0)
         idx = (jnp.uint32(i * tr) + lane) * jnp.uint32(w) + col
@@ -74,7 +74,11 @@ def _adam_tile_kernel(sc_ref, t_ref, p_ref, m_ref, v_ref, g_ref, p_out, m_out, v
     # store the slots FIRST, then update p from the STORED (downcast) values
     # — optimizers.adam semantics: the param step reads state["m"]/["v"]
     # after their dtype round-trip, not the full-precision intermediates
-    m_out[:] = m.astype(m_out.dtype)
+    if m_sr:
+        # optimizers.adam seeds BOTH m and v SR draws with t
+        m_out[:] = _sr_bits(m, idx, t_u32)
+    else:
+        m_out[:] = m.astype(m_out.dtype)
     if v_sr:
         v_out[:] = _sr_bits(v, idx, t_u32)
     else:
@@ -89,7 +93,7 @@ def _adam_tile_kernel(sc_ref, t_ref, p_ref, m_ref, v_ref, g_ref, p_out, m_out, v
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lr", "beta1", "beta2", "eps", "v_sr",
+    jax.jit, static_argnames=("lr", "beta1", "beta2", "eps", "m_sr", "v_sr",
                               "tile_rows", "interpret")
 )
 def fused_adam_table(
@@ -103,6 +107,7 @@ def fused_adam_table(
     beta1: float = 0.9,
     beta2: float = 0.999,
     eps: float = 1e-8,
+    m_sr: bool = False,
     v_sr: bool = False,
     tile_rows: int = 2048,
     interpret: bool = False,
@@ -110,9 +115,10 @@ def fused_adam_table(
     """Adam step for a [V, W] table: returns (p', m', v').
 
     ``t`` is the POST-increment step counter (optimizers.adam's
-    state["t"] + 1). ``v_sr`` requests the stochastic-rounding v downcast
-    (the BF16_SR slot contract); a bf16 ``p`` always gets the SR master-
-    param downcast (matching optimizers.adam's automatic behavior).
+    state["t"] + 1). ``m_sr``/``v_sr`` request the stochastic-rounding slot
+    downcasts (the BF16_SR contract; both seeded with t, as the tree-map
+    path does); a bf16 ``p`` always gets the SR master-param downcast
+    (matching optimizers.adam's automatic behavior).
     V must divide by tile_rows — size tables with table_padding=tile_rows.
     """
     vr, w = p.shape
@@ -136,7 +142,7 @@ def fused_adam_table(
         return pl.BlockSpec((w, tile_rows), lambda i: (0, i))
 
     kernel = functools.partial(
-        _adam_tile_kernel, w=w, tr=tile_rows, v_sr=v_sr, p_sr=p_sr
+        _adam_tile_kernel, w=w, tr=tile_rows, m_sr=m_sr, v_sr=v_sr, p_sr=p_sr
     )
     pT, mT, vT, gT = (x.T for x in (p, m, v, g))
     outs = pl.pallas_call(

@@ -156,7 +156,9 @@ def scatter_rows_dense(
     # to 128 bf16-ish; gate on the empirical compile boundary (16k-batch
     # streams, ~26 MB nominal, still fit — the reported scoped limit
     # under-counts)
-    resident_bytes = (r + c + 8) * (128 * 4 + 128 * upd_s.dtype.itemsize)
+    resident_bytes = (r + c + 8) * (
+        128 * 4 + _round_up(w, 128) * upd_s.dtype.itemsize
+    )
     if stream_placement == "auto":
         use_resident = resident_bytes <= 26 << 20
     else:  # explicit override, mainly for tests of the non-default regime

@@ -130,58 +130,57 @@ def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity):
     """Shared dedup all_to_all core: [n] GLOBAL ids -> [n, W] rows, in the
     caller's ordering (see make_ep_lookup_dedup for the algorithm and the
     capacity contract)."""
-    if True:
-        v_shard = table_shard.shape[0]
-        n = flat_ids.shape[0]
-        m_count = n_model
-        cap = peer_capacity if peer_capacity is not None else min(n, v_shard)
+    v_shard = table_shard.shape[0]
+    n = flat_ids.shape[0]
+    m_count = n_model
+    cap = peer_capacity if peer_capacity is not None else min(n, v_shard)
 
-        flat = flat_ids
-        order = jnp.argsort(flat)
-        sorted_ids = flat[order]
-        is_first = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), sorted_ids[1:] != sorted_ids[:-1]]
-        )
-        uslot = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # sorted pos -> unique slot
-        n_unique = uslot[-1] + 1
-        unique_ids = jnp.zeros((n,), jnp.int32).at[uslot].set(sorted_ids)
-        slot_valid = jnp.arange(n) < n_unique
-        inv = jnp.zeros((n,), jnp.int32).at[order].set(uslot)  # orig pos -> slot
+    flat = flat_ids
+    order = jnp.argsort(flat)
+    sorted_ids = flat[order]
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    uslot = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # sorted pos -> unique slot
+    n_unique = uslot[-1] + 1
+    unique_ids = jnp.zeros((n,), jnp.int32).at[uslot].set(sorted_ids)
+    slot_valid = jnp.arange(n) < n_unique
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(uslot)  # orig pos -> slot
 
-        peer = jnp.where(slot_valid, unique_ids // v_shard, m_count)
-        onehot_p = peer[:, None] == jnp.arange(m_count)[None, :]  # [n, M]
-        pos_in_peer = jnp.sum(
-            jnp.where(onehot_p, jnp.cumsum(onehot_p.astype(jnp.int32), axis=0) - 1, 0),
-            axis=1,
-        )
-        valid_send = slot_valid & (peer < m_count) & (pos_in_peer < cap)
-        addr = peer * cap + pos_in_peer  # [n], into the [M*C] request buffer
-        addr_safe = jnp.where(valid_send, addr, m_count * cap)
-        requests = (
-            jnp.full((m_count * cap,), -1, jnp.int32)
-            .at[addr_safe]
-            .set(unique_ids, mode="drop")
-        )
+    peer = jnp.where(slot_valid, unique_ids // v_shard, m_count)
+    onehot_p = peer[:, None] == jnp.arange(m_count)[None, :]  # [n, M]
+    pos_in_peer = jnp.sum(
+        jnp.where(onehot_p, jnp.cumsum(onehot_p.astype(jnp.int32), axis=0) - 1, 0),
+        axis=1,
+    )
+    valid_send = slot_valid & (peer < m_count) & (pos_in_peer < cap)
+    addr = peer * cap + pos_in_peer  # [n], into the [M*C] request buffer
+    addr_safe = jnp.where(valid_send, addr, m_count * cap)
+    requests = (
+        jnp.full((m_count * cap,), -1, jnp.int32)
+        .at[addr_safe]
+        .set(unique_ids, mode="drop")
+    )
 
-        req_recv = jax.lax.all_to_all(
-            requests.reshape(m_count, cap), MODEL_AXIS, 0, 0, tiled=False
-        ).reshape(m_count, cap)
-        m = jax.lax.axis_index(MODEL_AXIS)
-        local = req_recv - m * v_shard
-        ok = (local >= 0) & (local < v_shard)
-        resp = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)  # [M, C, K]
-        resp = jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
-        resp_back = jax.lax.all_to_all(resp, MODEL_AXIS, 0, 0, tiled=False).reshape(
-            m_count * cap, -1
-        )
+    req_recv = jax.lax.all_to_all(
+        requests.reshape(m_count, cap), MODEL_AXIS, 0, 0, tiled=False
+    ).reshape(m_count, cap)
+    m = jax.lax.axis_index(MODEL_AXIS)
+    local = req_recv - m * v_shard
+    ok = (local >= 0) & (local < v_shard)
+    resp = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)  # [M, C, K]
+    resp = jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
+    resp_back = jax.lax.all_to_all(resp, MODEL_AXIS, 0, 0, tiled=False).reshape(
+        m_count * cap, -1
+    )
 
-        my_addr = addr[inv]  # [n] buffer slot of each original lookup
-        emb = jnp.where(
-            valid_send[inv][:, None],
-            jnp.take(resp_back, jnp.where(valid_send[inv], my_addr, 0), axis=0),
-            0.0,
-        )
-        return emb
+    my_addr = addr[inv]  # [n] buffer slot of each original lookup
+    emb = jnp.where(
+        valid_send[inv][:, None],
+        jnp.take(resp_back, jnp.where(valid_send[inv], my_addr, 0), axis=0),
+        0.0,
+    )
+    return emb
 
 
 def make_ep_lookup_dedup_flat(mesh: Mesh, peer_capacity: int | None = None):

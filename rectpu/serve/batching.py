@@ -138,9 +138,15 @@ class MicroBatcher:
         deadline = time.monotonic() + self.max_delay_s
         while rows < self.max_batch:
             with self._lock:
-                while self._queue and rows < self.max_batch:
+                # never overshoot max_batch: an oversize merged batch would
+                # bypass the power-of-two bucketing and force a fresh XLA
+                # compile per novel size (a 30-300 s serving stall here)
+                while (self._queue and rows < self.max_batch
+                       and rows + self._queue[0].n <= self.max_batch):
                     items.append(self._queue.pop(0))
                     rows += items[-1].n
+                if self._queue and rows + self._queue[0].n > self.max_batch:
+                    break
             remaining = deadline - time.monotonic()
             if remaining <= 0 or rows >= self.max_batch:
                 break

@@ -161,7 +161,8 @@ def adam(
                         params[key], state["m"][key], state["v"][key],
                         grads[key], t,
                         lr=learning_rate, beta1=beta1, beta2=beta2, eps=epsilon,
-                        v_sr=v_dtype == BF16_SR, tile_rows=fused_tile_rows,
+                        m_sr=m_dtype == BF16_SR, v_sr=v_dtype == BF16_SR,
+                        tile_rows=fused_tile_rows,
                     )
             if fused_out:
                 rest = lambda tree: {k: x for k, x in tree.items() if k not in fused_out}

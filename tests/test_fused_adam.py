@@ -45,16 +45,18 @@ def _ref_step(p, m, v, g, t, lr, m_dtype, v_dtype):
 
 
 CASES = [
-    # (param dtype, m slot, v slot, v_sr flag)
-    (jnp.float32, None, None, False),
-    (jnp.float32, jnp.bfloat16, BF16_SR, True),
-    (jnp.float32, jnp.bfloat16, jnp.bfloat16, False),
-    (jnp.bfloat16, jnp.bfloat16, BF16_SR, True),
+    # (param dtype, m slot, v slot)
+    (jnp.float32, None, None),
+    (jnp.float32, jnp.bfloat16, BF16_SR),
+    (jnp.float32, jnp.bfloat16, jnp.bfloat16),
+    (jnp.float32, BF16_SR, BF16_SR),
+    (jnp.bfloat16, jnp.bfloat16, BF16_SR),
 ]
 
 
-@pytest.mark.parametrize("p_dtype,m_dtype,v_dtype,v_sr", CASES)
-def test_fused_matches_treemap(p_dtype, m_dtype, v_dtype, v_sr):
+@pytest.mark.parametrize("p_dtype,m_dtype,v_dtype", CASES)
+def test_fused_matches_treemap(p_dtype, m_dtype, v_dtype):
+    m_sr, v_sr = m_dtype == BF16_SR, v_dtype == BF16_SR
     rng = np.random.default_rng(0)
     vr, w, tr = 256, 5, 64
     st = lambda dt: jnp.bfloat16 if dt == BF16_SR else (dt or jnp.float32)
@@ -67,15 +69,17 @@ def test_fused_matches_treemap(p_dtype, m_dtype, v_dtype, v_sr):
         t = jnp.asarray(t_val, jnp.int32)
         ref_p, ref_m, ref_v = _ref_step(p, m, v, g, t, 1e-3, m_dtype, v_dtype)
         got_p, got_m, got_v = fused_adam_table(
-            p, m, v, g, t, lr=1e-3, v_sr=v_sr, tile_rows=tr, interpret=True
+            p, m, v, g, t, lr=1e-3, m_sr=m_sr, v_sr=v_sr, tile_rows=tr,
+            interpret=True,
         )
         for got, ref, name in ((got_p, ref_p, "p"), (got_m, ref_m, "m"),
                                (got_v, ref_v, "v")):
             assert got.dtype == ref.dtype, name
-            _assert_close(got, ref, f"{name} @ t={t_val}", sr=v_sr)
+            _assert_close(got, ref, f"{name} @ t={t_val}", sr=m_sr or v_sr)
         # bitwise determinism of the fused path itself
         again = fused_adam_table(
-            p, m, v, g, t, lr=1e-3, v_sr=v_sr, tile_rows=tr, interpret=True
+            p, m, v, g, t, lr=1e-3, m_sr=m_sr, v_sr=v_sr, tile_rows=tr,
+            interpret=True,
         )
         for a, b in zip(again, (got_p, got_m, got_v)):
             np.testing.assert_array_equal(_bits(a), _bits(b))
