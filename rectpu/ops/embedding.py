@@ -157,7 +157,11 @@ def _lookup_pallas_fwd(table, flat_ids, tile_r, interpret):
 
 def _lookup_pallas_bwd(tile_r, interpret, res, g):
     v, flat_ids = res
-    return _pallas_bwd(v, flat_ids, g, tile_r, interpret), None
+    # accumulate cross-tile collision sums in fp32 even for bf16 cotangents
+    # (the += in VMEM would otherwise drop increments below the running
+    # sum's bf16 ulp/2), then round once to the cotangent dtype
+    dtable = _pallas_bwd(v, flat_ids, g, tile_r, interpret, out_dtype=jnp.float32)
+    return dtable.astype(g.dtype), None
 
 
 _lookup_pallas.defvjp(_lookup_pallas_fwd, _lookup_pallas_bwd)
@@ -630,9 +634,8 @@ def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, dense_thres
         g_parts.append(field_grad(f))
 
     if id_parts:
-        cat_dtype = acc_dtype if grad_dtype is not None else jnp.float32
         all_ids = jnp.concatenate(id_parts)
-        all_g = jnp.concatenate([p.astype(cat_dtype) for p in g_parts])
+        all_g = jnp.concatenate([p.astype(acc_dtype) for p in g_parts])
         dtable = scatter_rows_dense(
             all_ids, all_g, v, out_dtype=acc_dtype, interpret=not _on_tpu()
         )

@@ -134,10 +134,14 @@ def adam(
     def up(x, dt):
         return x.astype(jnp.float32) if dt is not None else x
 
-    def down(x, dt, t):
+    def down(x, dt, t, orig_dtype=None):
         if dt == BF16_SR:
             return stochastic_round_bf16(x, t)
-        return x.astype(dt) if dt is not None else x
+        if dt is None:
+            # slots follow the param dtype (zeros_like init); the fp32-upcast
+            # slot math must not silently widen a bf16 slot to f32
+            return x if orig_dtype is None else x.astype(orig_dtype)
+        return x.astype(dt)
 
     def fusable(key, params):
         if not (isinstance(params, dict) and key in params):
@@ -178,12 +182,22 @@ def adam(
     def _treemap_update(grads, state, params, t):
         tf_ = t.astype(jnp.float32)
         lr_t = learning_rate * jnp.sqrt(1.0 - beta2**tf_) / (1.0 - beta1**tf_)
+        # slot products from fp32-upcast grads: bf16 cotangents
+        # (table_grad_dtype) would otherwise round each (1-b)*g / g*g
+        # increment to 8 mantissa bits — and the fused kernel
+        # (ops/fused_adam) computes fp32, so this keeps the paths matched
+        g32 = lambda g: g.astype(jnp.float32) if g.dtype != jnp.float32 else g
         m = jax.tree.map(
-            lambda m_, g: down(beta1 * up(m_, m_dtype) + (1 - beta1) * g, m_dtype, t),
+            lambda m_, g: down(
+                beta1 * up(m_, m_dtype) + (1 - beta1) * g32(g), m_dtype, t, m_.dtype
+            ),
             state["m"], grads,
         )
         v = jax.tree.map(
-            lambda v_, g: down(beta2 * up(v_, v_dtype) + (1 - beta2) * g * g, v_dtype, t),
+            lambda v_, g: down(
+                beta2 * up(v_, v_dtype) + (1 - beta2) * g32(g) * g32(g),
+                v_dtype, t, v_.dtype,
+            ),
             state["v"], grads,
         )
         def apply(p, m_, v_):
