@@ -150,6 +150,12 @@ class CsvDataset:
         ds.size = ds.cat_ids.shape[0]
         return ds
 
+    def apply_row_permutation(self, perm: np.ndarray) -> None:
+        """Relabel encoded row ids in place: id -> perm[id] (frequency-aware
+        EP placement, parallel/placement.py). Resident dataset: one vectorized
+        pass, zero per-batch cost."""
+        self.cat_ids = np.asarray(perm, dtype=np.int32)[self.cat_ids]
+
     # -- batching ------------------------------------------------------------
 
     def train_batches(
@@ -287,7 +293,13 @@ class StreamingCsvDataset:
                 self._native = None
             if use_native is True and self._native is None:
                 raise RuntimeError("native loader requested but not built")
+        self._row_perm = None
         self._scan()
+
+    def apply_row_permutation(self, perm: np.ndarray) -> None:
+        """Relabel row ids (id -> perm[id]) in every window as it is decoded
+        (frequency-aware EP placement, parallel/placement.py)."""
+        self._row_perm = np.asarray(perm, dtype=np.int32)
 
     # -- one cheap indexing pass ------------------------------------------
 
@@ -367,7 +379,10 @@ class StreamingCsvDataset:
         if self._native is not None:
             from rectpu.io.native.csv_bridge import encode_bytes
 
-            return encode_bytes(data, self.feature_set, self.label_col, self.cutoff)
+            out = encode_bytes(data, self.feature_set, self.label_col, self.cutoff)
+            if self._row_perm is not None:
+                out["cat_ids"] = self._row_perm[out["cat_ids"]]
+            return out
         import io as _io
 
         needed = [f.name for f in self.feature_set.categorical] + [
@@ -378,8 +393,11 @@ class StreamingCsvDataset:
             float_cols={f.name for f in self.feature_set.numeric},
         )
         batch = self.feature_set.encode(columns)
+        cat_ids = batch["cat_ids"]
+        if self._row_perm is not None:
+            cat_ids = self._row_perm[cat_ids]
         return {
-            "cat_ids": batch["cat_ids"],
+            "cat_ids": cat_ids,
             "num_vals": batch.get(
                 "num_vals", np.zeros((batch["cat_ids"].shape[0], 0), np.float32)
             ),

@@ -29,8 +29,93 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+COMM_COMPRESS_MODES = (None, "bf16", "int8")
 
-def make_ep_lookup_2d(mesh: Mesh):
+
+def _quantize_rows_int8(x):
+    """Per-row symmetric int8 quantization: [..., K] -> (int8 q, f32 scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _make_row_all_to_all(comm_compress):
+    """all_to_all(x, 'model', 0, 0) for [M, C, K] row payloads, optionally
+    compressed on the wire (the DLRM comm-compression pattern: fp rows are
+    the dominant ICI bytes, ids stay exact int32).
+
+      - None:   plain all_to_all in the payload dtype.
+      - "bf16": rows ride as bf16 (2x fewer bytes vs f32); the backward
+        cotangent exchange rides bf16 too.
+      - "int8": rows ride as int8 + one f32 scale per row (~3.8x fewer
+        bytes); DUAL-LEVEL: the backward cotangent exchange uses the
+        tighter bf16 path (gradients tolerate less error than activations
+        — arXiv:2407.04272's asymmetric-error-bound finding).
+
+    Compression changes values (tests bound the error); exact modes keep
+    the sharded==unsharded equality guarantees.
+    """
+    if comm_compress is None:
+        return lambda x: jax.lax.all_to_all(x, MODEL_AXIS, 0, 0, tiled=False)
+    if comm_compress not in COMM_COMPRESS_MODES:
+        raise ValueError(f"comm_compress must be one of {COMM_COMPRESS_MODES}")
+
+    def _fwd_impl(x):
+        if comm_compress == "bf16":
+            y = jax.lax.all_to_all(
+                x.astype(jnp.bfloat16), MODEL_AXIS, 0, 0, tiled=False
+            )
+            return y.astype(x.dtype)
+        q, scale = _quantize_rows_int8(x)
+        qb = jax.lax.all_to_all(q, MODEL_AXIS, 0, 0, tiled=False)
+        sb = jax.lax.all_to_all(scale, MODEL_AXIS, 0, 0, tiled=False)
+        return (qb.astype(jnp.float32) * sb).astype(x.dtype)
+
+    @jax.custom_vjp
+    def xchg(x):
+        return _fwd_impl(x)
+
+    def fwd(x):
+        return _fwd_impl(x), None
+
+    def bwd(_, g):
+        # all_to_all(split=concat=0) is its own transpose (device i's block j
+        # lands on device j's block i); cotangents always ride bf16. fwd
+        # preserves dtype, so g.dtype == x.dtype — no residual needed.
+        gb = jax.lax.all_to_all(
+            g.astype(jnp.bfloat16), MODEL_AXIS, 0, 0, tiled=False
+        )
+        return (gb.astype(g.dtype),)
+
+    xchg.defvjp(fwd, bwd)
+    return xchg
+
+
+def _check_rs_compress(comm_compress):
+    if comm_compress not in (None, "bf16"):
+        raise ValueError(
+            "reduce_scatter exchanges support comm_compress in (None, 'bf16'); "
+            "int8 rows cannot be summed across shards with per-shard scales — "
+            "use ep_mode='dedup' for int8"
+        )
+
+
+def _compressed_psum_scatter(x, comm_compress):
+    """psum_scatter over 'model', optionally riding bf16. Each element is
+    nonzero on exactly ONE model shard (the id's owner; peers contribute
+    masked zeros), so the bf16 sum itself is EXACT — the only error is the
+    initial round of the gathered rows to bf16 (zero if the table is bf16)."""
+    if comm_compress == "bf16" and x.dtype != jnp.bfloat16:
+        y = jax.lax.psum_scatter(
+            x.astype(jnp.bfloat16), MODEL_AXIS, scatter_dimension=0, tiled=True
+        )
+        return y.astype(x.dtype)
+    return jax.lax.psum_scatter(x, MODEL_AXIS, scatter_dimension=0, tiled=True)
+
+
+def make_ep_lookup_2d(mesh: Mesh, comm_compress: str | None = None):
     """2D sparse-parallel lookup (the DLRM pattern, SURVEY.md §2c).
 
     The batch is sharded over ALL devices — P(('data','model')) on the batch
@@ -46,7 +131,12 @@ def make_ep_lookup_2d(mesh: Mesh):
     returns activations already in the 2D batch layout. Autodiff reverses it
     (all_gather of cotangents, local scatter-add, psum of table grads over
     'data') for free.
+
+    ``comm_compress="bf16"`` rides the reduce_scatter (and its backward
+    all_gather) in bf16 — see _compressed_psum_scatter for why the sum stays
+    exact.
     """
+    _check_rs_compress(comm_compress)
 
     def local_lookup(table_shard, ids_local):
         # table_shard: [V/m, K]; ids_local: [B/(d*m), F] of GLOBAL row ids
@@ -61,7 +151,7 @@ def make_ep_lookup_2d(mesh: Mesh):
         emb = jnp.take(table_shard, safe, axis=0)  # [B/d, F, K]
         emb = jnp.where(in_range[..., None], emb, jnp.zeros_like(emb))
         # sum partials across table shards AND return this device's batch slice
-        return jax.lax.psum_scatter(emb, MODEL_AXIS, scatter_dimension=0, tiled=True)
+        return _compressed_psum_scatter(emb, comm_compress)
 
     def lookup(table, ids):
         return shard_map(
@@ -74,7 +164,11 @@ def make_ep_lookup_2d(mesh: Mesh):
     return lookup
 
 
-def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
+def make_ep_lookup_dedup(
+    mesh: Mesh,
+    peer_capacity: int | None = None,
+    comm_compress: str | None = None,
+):
     """2D EP lookup exchanging DEDUPLICATED rows via all_to_all.
 
     The reduce_scatter variant (make_ep_lookup_2d) moves a dense
@@ -104,6 +198,9 @@ def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
     this schema); ids beyond a peer's capacity are then DROPPED (zero
     embedding, zero gradient) — the MoE expert-capacity contract. Tests pin
     exactness at the default and the zero-fill behavior when starved.
+
+    ``comm_compress``: None | "bf16" | "int8" — lossy wire format for the
+    row all_to_all (ids stay exact int32); see _make_row_all_to_all.
     """
 
     n_model = mesh.shape[MODEL_AXIS]
@@ -112,7 +209,9 @@ def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
         # table_shard: [V/m, K]; ids_local: [B/(d*m), F] of GLOBAL row ids
         b_loc, f = ids_local.shape
         flat_ids = ids_local.reshape(-1).astype(jnp.int32)
-        emb = _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity)
+        emb = _dedup_exchange(
+            table_shard, flat_ids, n_model, peer_capacity, comm_compress
+        )
         return emb.reshape(b_loc, f, -1)
 
     def lookup(table, ids):
@@ -126,10 +225,12 @@ def make_ep_lookup_dedup(mesh: Mesh, peer_capacity: int | None = None):
     return lookup
 
 
-def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity):
+def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity,
+                    comm_compress=None):
     """Shared dedup all_to_all core: [n] GLOBAL ids -> [n, W] rows, in the
     caller's ordering (see make_ep_lookup_dedup for the algorithm and the
-    capacity contract)."""
+    capacity contract; comm_compress per _make_row_all_to_all)."""
+    row_all_to_all = _make_row_all_to_all(comm_compress)
     v_shard = table_shard.shape[0]
     n = flat_ids.shape[0]
     m_count = n_model
@@ -170,9 +271,7 @@ def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity):
     ok = (local >= 0) & (local < v_shard)
     resp = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)  # [M, C, K]
     resp = jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
-    resp_back = jax.lax.all_to_all(resp, MODEL_AXIS, 0, 0, tiled=False).reshape(
-        m_count * cap, -1
-    )
+    resp_back = row_all_to_all(resp).reshape(m_count * cap, -1)
 
     my_addr = addr[inv]  # [n] buffer slot of each original lookup
     emb = jnp.where(
@@ -183,7 +282,11 @@ def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity):
     return emb
 
 
-def make_ep_lookup_dedup_flat(mesh: Mesh, peer_capacity: int | None = None):
+def make_ep_lookup_dedup_flat(
+    mesh: Mesh,
+    peer_capacity: int | None = None,
+    comm_compress: str | None = None,
+):
     """Dedup all_to_all exchange emitting the LANE-PACKED flat layout.
 
     Same wire traffic as ``make_ep_lookup_dedup`` (the exchange moves
@@ -203,7 +306,9 @@ def make_ep_lookup_dedup_flat(mesh: Mesh, peer_capacity: int | None = None):
             k = table_shard.shape[1] - (1 if has_lin else 0)
             # field-major flatten: rows of field f land at [f*B, (f+1)*B)
             flat_ids = ids_local.T.reshape(-1).astype(jnp.int32)
-            rows = _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity)
+            rows = _dedup_exchange(
+                table_shard, flat_ids, n_model, peer_capacity, comm_compress
+            )
             emb_flat = jnp.zeros((b_loc, f_total * k), table_shard.dtype)
             lin = jnp.zeros((b_loc,), jnp.float32)
             for f in range(f_total):
@@ -256,7 +361,7 @@ def make_ep_lookup(mesh: Mesh):
     return lookup
 
 
-def make_ep_lookup_2d_flat(mesh: Mesh):
+def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
     """2D EP lookup emitting the LANE-PACKED flat layout directly.
 
     Same exchange as ``make_ep_lookup_2d`` (id all_gather over 'model',
@@ -272,8 +377,10 @@ def make_ep_lookup_2d_flat(mesh: Mesh):
     Requires the packed [V, K+1] table (cfg.packed_linear). Returns
     ``(emb_flat [B, F*K], lin [B])``; autodiff reverses the pipeline
     (all_gather of flat cotangents, per-field local scatter-add, psum over
-    'data') for free.
+    'data') for free. ``comm_compress="bf16"`` rides the flat reduce_scatter
+    in bf16 (exact sum — see _compressed_psum_scatter).
     """
+    _check_rs_compress(comm_compress)
 
     def make_local(has_lin):
         def local_lookup(table_shard, ids_local):
@@ -299,9 +406,8 @@ def make_ep_lookup_2d_flat(mesh: Mesh):
                 )
                 if has_lin:
                     lin = lin + piece[:, k].astype(jnp.float32)
-            emb_flat = jax.lax.psum_scatter(
-                emb_flat, MODEL_AXIS, scatter_dimension=0, tiled=True
-            )
+            emb_flat = _compressed_psum_scatter(emb_flat, comm_compress)
+            # lin is [B] — negligible bytes, keep exact
             lin = jax.lax.psum_scatter(lin, MODEL_AXIS, scatter_dimension=0, tiled=True)
             return emb_flat, lin
 

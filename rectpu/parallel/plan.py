@@ -38,29 +38,47 @@ class ParallelPlan:
     # "dedup": batch over ALL devices, unique-row all_to_all exchange (wide K);
     # "1d": batch over 'data' only, masked gather + psum
     ep_mode: str = "2d"
+    # lossy ICI wire format for the activation exchange (PAPERS.md,
+    # arXiv:2407.04272): None exact; "bf16" for any mode; "int8" per-row
+    # quantization, dedup mode only (rows ride all_to_all un-summed)
+    ep_comm_compress: str | None = None
+    # static per-peer request slots for the dedup exchange (MoE capacity
+    # contract; None = provably-lossless default, see make_ep_lookup_dedup)
+    ep_peer_capacity: int | None = None
 
     @classmethod
     def create(
         cls, num_data_shards: int, num_model_shards: int = 1, devices=None,
         table_rows: int | None = None, ep_mode: str = "2d",
+        ep_comm_compress: str | None = None, ep_peer_capacity: int | None = None,
     ):
         mesh = make_mesh(num_data_shards, num_model_shards, devices)
         ep = num_model_shards > 1
+        cc = ep_comm_compress
+        if ep_peer_capacity is not None and ep_mode != "dedup":
+            raise ValueError("ep_peer_capacity only applies to ep_mode='dedup'")
         if not ep:
             lookup_fn = None
         elif ep_mode == "2d":
-            lookup_fn = make_ep_lookup_2d(mesh)
+            lookup_fn = make_ep_lookup_2d(mesh, comm_compress=cc)
             # models with flat_layout upgrade to the lane-packed exchange
             # (half the reduce_scatter bytes, flat tower math) through this
             # attribute — the trainer keeps passing one lookup_fn either way
-            lookup_fn.flat_variant = make_ep_lookup_2d_flat(mesh)
+            lookup_fn.flat_variant = make_ep_lookup_2d_flat(mesh, comm_compress=cc)
         elif ep_mode == "dedup":
-            lookup_fn = make_ep_lookup_dedup(mesh)
-            lookup_fn.flat_variant = make_ep_lookup_dedup_flat(mesh)
+            lookup_fn = make_ep_lookup_dedup(
+                mesh, peer_capacity=ep_peer_capacity, comm_compress=cc
+            )
+            lookup_fn.flat_variant = make_ep_lookup_dedup_flat(
+                mesh, peer_capacity=ep_peer_capacity, comm_compress=cc
+            )
         else:
+            if cc is not None:
+                raise ValueError("ep_comm_compress requires ep_mode '2d' or 'dedup'")
             lookup_fn = make_ep_lookup(mesh)
         return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
-                   ep_mode=ep_mode)
+                   ep_mode=ep_mode, ep_comm_compress=ep_comm_compress,
+                   ep_peer_capacity=ep_peer_capacity)
 
     @property
     def _batch_axes(self):

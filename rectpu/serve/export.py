@@ -97,9 +97,17 @@ def export_model(
     job_dir: str | Path,
     step: int,
     exports_to_keep: int = 5,
+    row_perm=None,
 ) -> Path:
     """Write an export under <job_dir>/export/exporter/<ts>/ (LatestExporter
     layout) and prune old exports."""
+    if not isinstance(model.cfg.activation, str):
+        # a callable can't be recorded in model.json; silently writing a
+        # default would make load_model serve a DIFFERENT activation
+        raise ValueError(
+            "export requires a string activation (got a callable); register "
+            "it by name in models.base.get_activation"
+        )
     base = Path(job_dir) / "export" / "exporter"
     base.mkdir(parents=True, exist_ok=True)
     ts = str(int(time.time() * 1000))
@@ -118,7 +126,7 @@ def export_model(
             "tower_config": {
                 "embedding_size": cfg.embedding_size,
                 "hidden_units": list(cfg.hidden_units),
-                "activation": cfg.activation if isinstance(cfg.activation, str) else "relu",
+                "activation": cfg.activation,
                 "dropout": cfg.dropout,
                 "embedding_impl": cfg.embedding_impl,
                 "fm_impl": cfg.fm_impl,
@@ -134,6 +142,11 @@ def export_model(
                 if hasattr(model, k)
             },
         }
+        if row_perm is not None:
+            # training relabeled row ids (frequency-aware EP placement,
+            # parallel/placement.py); serving must encode with the same map
+            np.save(tmp / "row_perm.npy", np.asarray(row_perm, dtype=np.int32))
+            meta["row_placement"] = True
         try:
             (tmp / "apply.jaxexport").write_bytes(_serialized_apply_bytes(model, params_host))
             meta["serialized_apply"] = True
@@ -173,21 +186,28 @@ class ServingModel:
     """
 
     def __init__(
-        self, model, params, feature_set: FeatureSet, max_batch: int = 4096, apply_fn=None
+        self, model, params, feature_set: FeatureSet, max_batch: int = 4096,
+        apply_fn=None, row_perm=None,
     ):
         self.model = model
         self.params = params
         self.feature_set = feature_set
         self.max_batch = max_batch
+        self.row_perm = None if row_perm is None else np.asarray(row_perm, np.int32)
         if apply_fn is None:
             apply_fn = jax.jit(lambda p, b: binary_predictions(model.apply(p, b, train=False)))
         self._apply = apply_fn
 
     def _bucket(self, n: int) -> int:
+        """Power-of-two buckets up to max_batch; beyond it, multiples of
+        max_batch — a bounded compile set either way (returning n exactly
+        would compile a fresh executable per novel oversize request)."""
+        if n > self.max_batch:
+            return -(-n // self.max_batch) * self.max_batch
         b = 1
         while b < n:
             b *= 2
-        return min(b, max(self.max_batch, n))
+        return b
 
     def warmup(self, sizes=(1,)) -> None:
         """Pre-compile the predict fn for the buckets of the given sizes."""
@@ -208,7 +228,10 @@ class ServingModel:
         "num_vals": [n, num_numeric] float32}`` — CPU work, safe to run
         concurrently from request threads (see serve.batching).
         """
-        missing = [k for k in SERVING_REQUIRED if k not in features]
+        required = SERVING_REQUIRED + [
+            f.name for f in self.feature_set.numeric if f.name not in SERVING_REQUIRED
+        ]
+        missing = [k for k in required if k not in features]
         if missing:
             raise ValueError(f"missing required serving features: {missing}")
         n = len(np.asarray(features["user_id"]).reshape(-1))
@@ -226,6 +249,9 @@ class ServingModel:
                 columns[f.name] = np.asarray(features[f.name]).reshape(-1)
         batch = self.feature_set.encode(columns)
         batch = {k: np.asarray(v) for k, v in batch.items()}
+        if self.row_perm is not None:
+            # match training's frequency-aware row relabeling (placement.py)
+            batch["cat_ids"] = self.row_perm[batch["cat_ids"]]
         if "num_vals" not in batch:
             batch["num_vals"] = np.zeros((n, 0), np.float32)
         return batch
@@ -302,13 +328,19 @@ def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingM
 
         exp = jax_export.deserialize(blob_path.read_bytes())
         apply_fn = jax.jit(exp.call)
-    return ServingModel(model, params, feature_set, apply_fn=apply_fn)
+    row_perm = None
+    if meta.get("row_placement"):
+        row_perm = np.load(export_dir / "row_perm.npy")
+    return ServingModel(model, params, feature_set, apply_fn=apply_fn,
+                        row_perm=row_perm)
 
 
-def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5):
+def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5,
+                  row_perm=None):
     """An exporter callback for the Trainer (LatestExporter parity)."""
 
     def exporter(params, step):
-        export_model(params, model, job_dir, step, exports_to_keep)
+        export_model(params, model, job_dir, step, exports_to_keep,
+                     row_perm=row_perm)
 
     return exporter

@@ -75,6 +75,31 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
     parser.add_argument("--ep-mode", default="2d", choices=["1d", "2d", "dedup"],
                         help="EP exchange: '2d' dense reduce_scatter (DLRM), 'dedup' "
                              "unique-row all_to_all (wide K), '1d' masked gather+psum")
+    parser.add_argument("--ep-peer-capacity", default=None,
+                        help="dedup EP exchange: static request slots per "
+                             "peer (int), or 'auto' to size from train-set "
+                             "statistics (expected unique rows of the busiest "
+                             "shard x1.5; parallel/placement.py). Default: "
+                             "the provably-lossless bound (exact but large); "
+                             "smaller values DROP overflow ids to zero "
+                             "embeddings (MoE capacity contract)")
+    parser.add_argument("--ep-row-placement", default="none",
+                        choices=["none", "freq"],
+                        help="'freq': RecShard-style frequency-aware row "
+                             "placement — count train-set lookups per row and "
+                             "deal each field's rows, hottest first, round-"
+                             "robin across the EP table shards (within-field "
+                             "permutation; balances hot-row traffic and dedup "
+                             "capacity). Saved to <job-dir>/row_perm.npy and "
+                             "carried through exports for serving")
+    parser.add_argument("--ep-comm-compress", default=None,
+                        choices=["bf16", "int8"],
+                        help="lossy ICI wire format for the EP activation "
+                             "exchange: 'bf16' halves the bytes (any --ep-mode "
+                             "2d/dedup; exact when the table is bf16), 'int8' "
+                             "per-row quantized rows, ~3.8x fewer bytes "
+                             "(--ep-mode dedup only; backward cotangents ride "
+                             "bf16 — dual-level error bounds)")
     parser.add_argument("--autotune", action="store_true",
                         help="benchmark kernel impls at the working shapes and pin winners")
     parser.add_argument("--profile-dir", default=None,
@@ -146,6 +171,59 @@ def build_trainer(args, model, optimizer=None):
         train_ds = CsvDataset(args.train_csv, fs)
         eval_ds = CsvDataset(args.test_csv, fs)
 
+    row_perm = None
+    if getattr(args, "ep_row_placement", "none") == "freq":
+        import numpy as np
+
+        from rectpu.parallel.placement import (
+            count_row_frequencies,
+            frequency_permutation,
+        )
+
+        if args.num_model_shards <= 1:
+            raise ValueError("--ep-row-placement freq requires --num-model-shards > 1")
+        perm_path = Path(args.job_dir) / "row_perm.npy"
+        if perm_path.exists():
+            # restored run: the relabeling must match the checkpointed table
+            row_perm = np.load(perm_path)
+        else:
+            if not hasattr(train_ds, "cat_ids"):
+                raise ValueError(
+                    "--ep-row-placement freq needs a resident dataset "
+                    "(incompatible with --streaming-io: counting requires a "
+                    "full pass; precompute row_perm.npy offline instead)"
+                )
+            fs2 = model.cfg.feature_set
+            counts = count_row_frequencies(train_ds.cat_ids, model.cfg.padded_buckets)
+            row_perm = frequency_permutation(
+                counts,
+                (tuple(int(o) for o in fs2.offsets), tuple(fs2.field_sizes)),
+                args.num_model_shards,
+                model.cfg.padded_buckets,
+            )
+            np.save(perm_path, row_perm)
+        train_ds.apply_row_permutation(row_perm)
+        eval_ds.apply_row_permutation(row_perm)
+
+    peer_capacity = getattr(args, "ep_peer_capacity", None)
+    if peer_capacity == "auto":
+        import numpy as np
+
+        from rectpu.parallel.placement import count_row_frequencies, suggest_peer_capacity
+
+        if not hasattr(train_ds, "cat_ids"):
+            raise ValueError("--ep-peer-capacity auto needs a resident dataset")
+        # counts AFTER any placement remap — capacity is per NEW row label
+        counts = count_row_frequencies(train_ds.cat_ids, model.cfg.padded_buckets)
+        n_inst = args.num_data_shards * args.num_model_shards
+        lookups = (args.batch_size // max(n_inst, 1)) * model.cfg.num_fields
+        peer_capacity = suggest_peer_capacity(
+            counts, args.num_model_shards, model.cfg.padded_buckets, lookups
+        )
+        logger.info("ep_peer_capacity auto -> %d", peer_capacity)
+    elif peer_capacity is not None:
+        peer_capacity = int(peer_capacity)
+
     plan = None
     if args.num_data_shards > 1 or args.num_model_shards > 1:
         from rectpu.parallel.plan import ParallelPlan
@@ -155,6 +233,8 @@ def build_trainer(args, model, optimizer=None):
             num_model_shards=args.num_model_shards,
             table_rows=model.cfg.padded_buckets,
             ep_mode=getattr(args, "ep_mode", "2d"),
+            ep_comm_compress=getattr(args, "ep_comm_compress", None),
+            ep_peer_capacity=peer_capacity,
         )
 
     config = TrainConfig(
@@ -168,7 +248,7 @@ def build_trainer(args, model, optimizer=None):
         loss_reduction=args.loss_reduction,
     )
     optimizer = optimizer or model.default_optimizer()
-    exporter = make_exporter(model, args.job_dir)
+    exporter = make_exporter(model, args.job_dir, row_perm=row_perm)
     trainer = Trainer(
         model, optimizer, train_ds, eval_ds, args.job_dir, config, plan=plan, exporter=exporter
     )
