@@ -361,6 +361,56 @@ def make_ep_lookup(mesh: Mesh):
     return lookup
 
 
+def make_ep_lookup_flat(mesh: Mesh):
+    """1D EP lookup emitting the LANE-PACKED flat layout.
+
+    Same exchange as ``make_ep_lookup`` (masked local gather, psum over
+    'model'; batch sharded on 'data' only, towers replicated over 'model'),
+    but each shard writes its rows straight into the flat [B/d, F*K] layout
+    and folds the packed linear column BEFORE the psum — F*K exact lanes
+    cross ICI instead of the tile-padded [B/d, F, K+1], matching the flat
+    upgrade the 2d/dedup modes already have.
+    """
+
+    def make_local(has_lin):
+        def local_lookup(table_shard, ids_local):
+            # table_shard: [V/m, K(+1)]; ids_local: [B/d, F] of GLOBAL ids
+            m = jax.lax.axis_index(MODEL_AXIS)
+            v_shard = table_shard.shape[0]
+            k = table_shard.shape[1] - (1 if has_lin else 0)
+            b, f_total = ids_local.shape
+            local = ids_local.astype(jnp.int32) - m * v_shard
+            in_range = (local >= 0) & (local < v_shard)
+            safe = jnp.where(in_range, local, 0)
+
+            emb_flat = jnp.zeros((b, f_total * k), table_shard.dtype)
+            lin = jnp.zeros((b,), jnp.float32)
+            for f in range(f_total):
+                piece = jnp.take(table_shard, safe[:, f], axis=0)  # [B/d, K(+1)]
+                piece = jnp.where(in_range[:, f, None], piece, jnp.zeros_like(piece))
+                emb_flat = jax.lax.dynamic_update_slice(
+                    emb_flat, piece[:, :k], (0, f * k)
+                )
+                if has_lin:
+                    lin = lin + piece[:, k].astype(jnp.float32)
+            emb_flat = jax.lax.psum(emb_flat, MODEL_AXIS)
+            lin = jax.lax.psum(lin, MODEL_AXIS)
+            return emb_flat, lin
+
+        return local_lookup
+
+    def lookup(table, ids, has_lin=True):
+        emb_flat, lin = shard_map(
+            make_local(has_lin),
+            mesh=mesh,
+            in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        )(table, ids)
+        return emb_flat, (lin if has_lin else None)
+
+    return lookup
+
+
 def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
     """2D EP lookup emitting the LANE-PACKED flat layout directly.
 

@@ -24,6 +24,7 @@ from rectpu.parallel.embedding_ep import (
     make_ep_lookup_2d_flat,
     make_ep_lookup_dedup,
     make_ep_lookup_dedup_flat,
+    make_ep_lookup_flat,
 )
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 
@@ -76,6 +77,7 @@ class ParallelPlan:
             if cc is not None:
                 raise ValueError("ep_comm_compress requires ep_mode '2d' or 'dedup'")
             lookup_fn = make_ep_lookup(mesh)
+            lookup_fn.flat_variant = make_ep_lookup_flat(mesh)
         return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
                    ep_mode=ep_mode, ep_comm_compress=ep_comm_compress,
                    ep_peer_capacity=ep_peer_capacity)

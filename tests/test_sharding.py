@@ -421,3 +421,82 @@ def test_sharded_flat_train_step_dedup_matches_single_device(rng):
         ),
         jax.device_get(p_ref), jax.device_get(p_out),
     )
+
+
+@pytest.mark.parametrize("has_lin", [True, False])
+def test_ep1d_flat_lookup_matches_local(rng, has_lin):
+    """Flat 1D exchange (masked gather + psum) == the local flat lookup."""
+    from rectpu.ops.embedding import lookup_flat
+    from rectpu.parallel.embedding_ep import make_ep_lookup_flat
+
+    mesh = make_mesh(2, 4)
+    lookup = make_ep_lookup_flat(mesh)
+    fs = ml_100k_feature_set()
+    v, k = -(-fs.total_buckets // 8) * 8, 4
+    w = k + 1 if has_lin else k
+    table = jnp.asarray(rng.normal(size=(v, w)).astype(np.float32))
+    ids = jnp.asarray(_batch(fs, 16, rng)["cat_ids"])
+    field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+
+    got_emb, got_lin = lookup(table, ids, has_lin=has_lin)
+    ref_emb, ref_lin = lookup_flat(table, ids, field_info, k)
+    np.testing.assert_allclose(np.asarray(got_emb), np.asarray(ref_emb), rtol=1e-6)
+    if has_lin:
+        np.testing.assert_allclose(np.asarray(got_lin), np.asarray(ref_lin),
+                                   rtol=1e-5, atol=1e-6)
+    else:
+        assert got_lin is None
+
+    w_emb = jnp.asarray(rng.normal(size=(16, fs.num_fields * k)).astype(np.float32))
+
+    def obj(fn):
+        def f(t):
+            emb, lin = fn(t)
+            out = jnp.sum(w_emb * emb)
+            return out + jnp.sum(lin) if lin is not None else out
+        return jax.grad(f)(table)
+
+    g_sh = obj(lambda t: lookup(t, ids, has_lin=has_lin))
+    g_ref = obj(lambda t: lookup_flat(t, ids, field_info, k))
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sharded_flat_train_step_1d_matches_single_device(rng):
+    """flat_layout + 1D EP: the sharded train step equals the single-device
+    flat step (plan now attaches a flat variant in 1d mode too)."""
+    nd, nm = 2, 4
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=8 * nm, packed_linear=True, flat_layout=True)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = model.default_optimizer()
+    opt_state = opt.init(params)
+    batch = _batch(fs, 32, rng)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def step(params, opt_state, batch, lookup_fn):
+        def loss_fn(p):
+            logits = model.apply(p, batch, train=False, lookup_fn=lookup_fn)
+            return sigmoid_xent(logits, batch["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    p_ref, _, loss_ref = jax.jit(lambda p, s, b: step(p, s, b, None))(
+        params, opt_state, batch_j
+    )
+    plan = ParallelPlan.create(nd, nm, table_rows=cfg.padded_buckets, ep_mode="1d")
+    assert getattr(plan.lookup_fn, "flat_variant", None) is not None
+    p_out, _, loss_sh = jax.jit(lambda p, s, b: step(p, s, b, plan.lookup_fn))(
+        plan.shard_params(params), plan.shard_params(opt_state), plan.shard_batch(batch)
+    )
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        jax.device_get(p_ref), jax.device_get(p_out),
+    )
