@@ -202,6 +202,8 @@ def make_ep_lookup_dedup(
     ``comm_compress``: None | "bf16" | "int8" — lossy wire format for the
     row all_to_all (ids stay exact int32); see _make_row_all_to_all.
     """
+    if comm_compress not in COMM_COMPRESS_MODES:
+        raise ValueError(f"comm_compress must be one of {COMM_COMPRESS_MODES}")
 
     n_model = mesh.shape[MODEL_AXIS]
 
@@ -297,6 +299,8 @@ def make_ep_lookup_dedup_flat(
     materialized, and the towers consume flat activations directly
     (models/*._apply_flat / the flat DNN input).
     """
+    if comm_compress not in COMM_COMPRESS_MODES:
+        raise ValueError(f"comm_compress must be one of {COMM_COMPRESS_MODES}")
 
     n_model = mesh.shape[MODEL_AXIS]
 
@@ -394,7 +398,8 @@ def make_ep_lookup_flat(mesh: Mesh):
                 if has_lin:
                     lin = lin + piece[:, k].astype(jnp.float32)
             emb_flat = jax.lax.psum(emb_flat, MODEL_AXIS)
-            lin = jax.lax.psum(lin, MODEL_AXIS)
+            if has_lin:  # no collective for the discarded all-zeros lin
+                lin = jax.lax.psum(lin, MODEL_AXIS)
             return emb_flat, lin
 
         return local_lookup
@@ -431,6 +436,7 @@ def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
     in bf16 (exact sum — see _compressed_psum_scatter).
     """
     _check_rs_compress(comm_compress)
+    n_model = mesh.shape[MODEL_AXIS]
 
     def make_local(has_lin):
         def local_lookup(table_shard, ids_local):
@@ -457,8 +463,13 @@ def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
                 if has_lin:
                     lin = lin + piece[:, k].astype(jnp.float32)
             emb_flat = _compressed_psum_scatter(emb_flat, comm_compress)
-            # lin is [B] — negligible bytes, keep exact
-            lin = jax.lax.psum_scatter(lin, MODEL_AXIS, scatter_dimension=0, tiled=True)
+            if has_lin:
+                # lin is [B] — negligible bytes, keep exact
+                lin = jax.lax.psum_scatter(
+                    lin, MODEL_AXIS, scatter_dimension=0, tiled=True
+                )
+            else:  # no collective; just match the scattered [B/(d*m)] shape
+                lin = jnp.zeros((b // n_model,), jnp.float32)
             return emb_flat, lin
 
         return local_lookup

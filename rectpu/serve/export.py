@@ -199,15 +199,17 @@ class ServingModel:
         self._apply = apply_fn
 
     def _bucket(self, n: int) -> int:
-        """Power-of-two buckets up to max_batch; beyond it, multiples of
+        """Power-of-two buckets capped at max_batch; beyond it, multiples of
         max_batch — a bounded compile set either way (returning n exactly
-        would compile a fresh executable per novel oversize request)."""
+        would compile a fresh executable per novel oversize request). The cap
+        matters for non-power-of-two max_batch: a 2500-row request at
+        max_batch=3000 pads to 3000, not 4096."""
         if n > self.max_batch:
             return -(-n // self.max_batch) * self.max_batch
         b = 1
         while b < n:
             b *= 2
-        return b
+        return min(b, self.max_batch)
 
     def warmup(self, sizes=(1,)) -> None:
         """Pre-compile the predict fn for the buckets of the given sizes."""
@@ -338,6 +340,13 @@ def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingM
 def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5,
                   row_perm=None):
     """An exporter callback for the Trainer (LatestExporter parity)."""
+    if not isinstance(model.cfg.activation, str):
+        # fail at construction, not hours later when the first export-cadence
+        # callback fires mid-training (export_model re-checks for direct calls)
+        raise ValueError(
+            "export requires a string activation (got a callable); register "
+            "it by name in models.base.get_activation"
+        )
 
     def exporter(params, step):
         export_model(params, model, job_dir, step, exports_to_keep,

@@ -129,6 +129,12 @@ def add_deep_args(parser: ArgumentParser) -> None:
                              "sets table_padding=2048 for an exact tile grid")
 
 
+def _has_checkpoint(job_dir) -> bool:
+    from rectpu.train.checkpoint import CheckpointManager
+
+    return CheckpointManager(job_dir).latest_step() is not None
+
+
 def build_trainer(args, model, optimizer=None):
     """Assemble datasets + Trainer + exporter from parsed args and a model."""
     from rectpu.io.loader import CsvDataset
@@ -171,10 +177,12 @@ def build_trainer(args, model, optimizer=None):
         train_ds = CsvDataset(args.train_csv, fs)
         eval_ds = CsvDataset(args.test_csv, fs)
 
-    row_perm = None
-    if getattr(args, "ep_row_placement", "none") == "freq":
-        import numpy as np
+    import numpy as np
 
+    row_perm = None
+    perm_path = Path(args.job_dir) / "row_perm.npy"
+    post_perm_counts = None  # post-relabel histogram, reused by capacity auto
+    if getattr(args, "ep_row_placement", "none") == "freq":
         from rectpu.parallel.placement import (
             count_row_frequencies,
             frequency_permutation,
@@ -182,11 +190,19 @@ def build_trainer(args, model, optimizer=None):
 
         if args.num_model_shards <= 1:
             raise ValueError("--ep-row-placement freq requires --num-model-shards > 1")
-        perm_path = Path(args.job_dir) / "row_perm.npy"
         if perm_path.exists():
             # restored run: the relabeling must match the checkpointed table
             row_perm = np.load(perm_path)
         else:
+            if args.restore and _has_checkpoint(args.job_dir):
+                # a checkpoint exists but was trained WITHOUT placement —
+                # computing a fresh perm would remap ids against an
+                # unrelabeled restored table (silent corruption)
+                raise ValueError(
+                    "--ep-row-placement freq with --restore, but the job dir "
+                    "has a checkpoint and no row_perm.npy: the checkpoint was "
+                    "trained without placement. Drop the flag or start fresh."
+                )
             if not hasattr(train_ds, "cat_ids"):
                 raise ValueError(
                     "--ep-row-placement freq needs a resident dataset "
@@ -202,21 +218,35 @@ def build_trainer(args, model, optimizer=None):
                 model.cfg.padded_buckets,
             )
             np.save(perm_path, row_perm)
+            # relabel the histogram instead of re-scanning the dataset below
+            post_perm_counts = np.zeros_like(counts)
+            post_perm_counts[row_perm[: counts.shape[0]]] = counts
+        train_ds.apply_row_permutation(row_perm)
+        eval_ds.apply_row_permutation(row_perm)
+    elif perm_path.exists():
+        # the checkpoint/export in this job dir was trained with placement;
+        # ignoring the stored map would index the permuted table with raw ids
+        logger.info("applying stored row placement from %s", perm_path)
+        row_perm = np.load(perm_path)
         train_ds.apply_row_permutation(row_perm)
         eval_ds.apply_row_permutation(row_perm)
 
     peer_capacity = getattr(args, "ep_peer_capacity", None)
     if peer_capacity == "auto":
-        import numpy as np
-
         from rectpu.parallel.placement import count_row_frequencies, suggest_peer_capacity
 
-        if not hasattr(train_ds, "cat_ids"):
-            raise ValueError("--ep-peer-capacity auto needs a resident dataset")
-        # counts AFTER any placement remap — capacity is per NEW row label
-        counts = count_row_frequencies(train_ds.cat_ids, model.cfg.padded_buckets)
+        if post_perm_counts is not None:
+            counts = post_perm_counts
+        else:
+            if not hasattr(train_ds, "cat_ids"):
+                raise ValueError("--ep-peer-capacity auto needs a resident dataset")
+            # counts AFTER any placement remap — capacity is per NEW row label
+            counts = count_row_frequencies(train_ds.cat_ids, model.cfg.padded_buckets)
         n_inst = args.num_data_shards * args.num_model_shards
-        lookups = (args.batch_size // max(n_inst, 1)) * model.cfg.num_fields
+        # the same lookup_fn serves train AND eval steps — size for the
+        # larger slice (eval defaults to max(batch_size, 512), loop.py)
+        eval_bs = args.eval_batch_size or max(args.batch_size, 512)
+        lookups = (max(args.batch_size, eval_bs) // max(n_inst, 1)) * model.cfg.num_fields
         peer_capacity = suggest_peer_capacity(
             counts, args.num_model_shards, model.cfg.padded_buckets, lookups
         )
