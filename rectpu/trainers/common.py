@@ -130,9 +130,9 @@ def add_deep_args(parser: ArgumentParser) -> None:
 
 
 def _has_checkpoint(job_dir) -> bool:
-    from rectpu.train.checkpoint import CheckpointManager
+    from rectpu.train.checkpoint import Checkpointer
 
-    return CheckpointManager(job_dir).latest_step() is not None
+    return Checkpointer(job_dir).latest_step() is not None
 
 
 def build_trainer(args, model, optimizer=None):

@@ -23,6 +23,9 @@ def main():
     out_path = sys.argv[5]
     model_shards = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     flat = len(sys.argv) > 7 and sys.argv[7] == "1"
+    ep_mode = sys.argv[8] if len(sys.argv) > 8 else "2d"
+    comm_compress = sys.argv[9] if len(sys.argv) > 9 else "none"
+    comm_compress = None if comm_compress == "none" else comm_compress
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -53,12 +56,17 @@ def main():
         num_data_shards=jax.device_count() // model_shards,
         num_model_shards=model_shards,
         table_rows=cfg.padded_buckets,
+        ep_mode=ep_mode,
+        ep_comm_compress=comm_compress,
     )
     tc = TrainConfig(batch_size=64, train_steps=200, steps_per_loop=50,
                      save_checkpoints_steps=10**6, async_checkpoint=False)
     trainer = Trainer(
         model, model.default_optimizer(), train_ds, eval_ds,
-        os.path.join(data_dir, f"job_np{nproc}_m{model_shards}_f{int(flat)}"),
+        os.path.join(
+            data_dir,
+            f"job_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}",
+        ),
         tc, plan=plan,
     )
     metrics = trainer.train_and_evaluate(restore=False)

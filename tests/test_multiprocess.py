@@ -22,13 +22,16 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run(nproc, data_dir, tmp_path, model_shards=1, flat=False):
-    out = tmp_path / f"out_np{nproc}_m{model_shards}_f{int(flat)}.json"
+def _run(nproc, data_dir, tmp_path, model_shards=1, flat=False,
+         ep_mode="2d", comm_compress="none"):
+    out = (tmp_path /
+           f"out_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}.json")
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), str(nproc), coordinator,
-             str(data_dir), str(out), str(model_shards), str(int(flat))],
+             str(data_dir), str(out), str(model_shards), str(int(flat)),
+             ep_mode, comm_compress],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=str(WORKER.parent.parent),
         )
@@ -96,3 +99,43 @@ def test_two_process_flat_ep(tmp_path):
         assert np.isclose(single["metrics"][key], multi["metrics"][key],
                           rtol=1e-4, atol=1e-5), (key, single, multi)
     assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_dedup_ep(tmp_path):
+    """Dedup all_to_all EP exchange with the 'model' axis spanning OS
+    processes (cross-process unique-row all_to_all) — exact mode must
+    reproduce single-process results."""
+    from rectpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    write_synthetic_dataset(data_dir, train_rows=2000, test_rows=512, seed=11)
+
+    single = _run(1, data_dir, tmp_path)
+    multi = _run(2, data_dir, tmp_path, model_shards=2, ep_mode="dedup")
+
+    assert multi["metrics"]["count"] == 512
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(single["metrics"][key], multi["metrics"][key],
+                          rtol=1e-4, atol=1e-5), (key, single, multi)
+    assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_dedup_ep_int8(tmp_path):
+    """int8-compressed dedup exchange across OS processes: lossy by design,
+    so the 200-step run must LAND NEAR (not equal) the single-process run."""
+    from rectpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    write_synthetic_dataset(data_dir, train_rows=2000, test_rows=512, seed=11)
+
+    single = _run(1, data_dir, tmp_path)
+    multi = _run(2, data_dir, tmp_path, model_shards=2, ep_mode="dedup",
+                 comm_compress="int8")
+
+    assert multi["metrics"]["count"] == 512
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(single["metrics"][key], multi["metrics"][key],
+                          rtol=0.05), (key, single, multi)
+    assert np.isclose(single["param_digest"], multi["param_digest"], rtol=0.05)

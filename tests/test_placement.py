@@ -201,3 +201,56 @@ def test_trainer_flag_e2e(synthetic_dir, tmp_path):
     np.testing.assert_array_equal(batch["cat_ids"], perm[raw["cat_ids"]])
     out = served.predict(req)
     assert 0.0 <= float(out["probabilities"][0]) <= 1.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_restore_guards(synthetic_dir, tmp_path):
+    """Placement/checkpoint consistency: the flag over a placement-free
+    checkpoint fails fast; restoring WITHOUT the flag auto-applies the
+    stored perm (ids must never index the permuted table raw)."""
+    from rectpu.trainers.common import build_trainer
+    from rectpu.trainers.deep_fm import build_parser
+
+    def make_args(*extra):
+        return build_parser().parse_args([
+            "--train-csv", str(synthetic_dir["train"]),
+            "--test-csv", str(synthetic_dir["test"]),
+            "--job-dir", str(tmp_path / "job"),
+            "--train-steps", "10", "--batch-size", "64", "--steps-per-loop", "5",
+            "--num-data-shards", "2", "--num-model-shards", "4",
+            "--ep-mode", "dedup", *extra,
+        ])
+
+    from rectpu.trainers.deep_fm import train_and_evaluate
+
+    # run 1: no placement; leaves a checkpoint, no row_perm.npy
+    train_and_evaluate(make_args())
+    assert not (tmp_path / "job" / "row_perm.npy").exists()
+
+    # adding the flag over that checkpoint must fail fast
+    with pytest.raises(ValueError, match="trained without placement"):
+        build_trainer(
+            make_args("--restore", "--ep-row-placement", "freq"),
+            _model_for(make_args()),
+        )
+
+    # run 2 fresh WITH placement, then restore WITHOUT the flag: the stored
+    # perm is auto-applied (the build succeeds and datasets are remapped)
+    train_and_evaluate(make_args("--ep-row-placement", "freq"))
+    perm = np.load(tmp_path / "job" / "row_perm.npy")
+    trainer = build_trainer(make_args("--restore"), _model_for(make_args()))
+    # spot-check: the train dataset's ids live in the permuted label space
+    from rectpu.io.loader import CsvDataset
+    fs = ml_100k_feature_set()
+    raw_ds = CsvDataset(synthetic_dir["train"], fs)
+    np.testing.assert_array_equal(trainer.train_ds.cat_ids, perm[raw_ds.cat_ids])
+
+
+def _model_for(args):
+    from rectpu.features.schema import ml_100k_feature_set as _fs
+    from rectpu.models import DeepFMModel, TowerConfig
+
+    return DeepFMModel(TowerConfig(
+        feature_set=_fs(), embedding_size=args.embedding_size,
+        hidden_units=tuple(args.hidden_units), table_padding=128,
+    ))
