@@ -168,7 +168,9 @@ def suggest_peer_capacity(
     e_unique = 1.0 - (1.0 - p) ** float(lookups_per_instance)
     per_shard = e_unique.reshape(n_shards, shard_size).sum(axis=1)
     cap = int(np.ceil(per_shard.max() * safety))
-    return max(8, -(-cap // 8) * 8)
+    cap = max(8, -(-cap // 8) * 8)
+    # never exceed the provably-lossless bound — capacity above it is waste
+    return min(cap, min(lookups_per_instance, shard_size))
 
 
 def relabel_table_rows(table: np.ndarray, perm: np.ndarray) -> np.ndarray:

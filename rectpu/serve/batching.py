@@ -138,9 +138,10 @@ class MicroBatcher:
         deadline = time.monotonic() + self.max_delay_s
         while rows < self.max_batch:
             with self._lock:
-                # never overshoot max_batch: an oversize merged batch would
-                # bypass the power-of-two bucketing and force a fresh XLA
-                # compile per novel size (a 30-300 s serving stall here)
+                # never overshoot max_batch: _bucket rounds oversize batches
+                # up to the next max_batch multiple (bounded compile set),
+                # so an overshoot costs up-to-2x padding waste per dispatch,
+                # not a fresh compile — still worth avoiding
                 while (self._queue and rows < self.max_batch
                        and rows + self._queue[0].n <= self.max_batch):
                     items.append(self._queue.pop(0))

@@ -231,7 +231,10 @@ class ServingModel:
         concurrently from request threads (see serve.batching).
         """
         required = SERVING_REQUIRED + [
-            f.name for f in self.feature_set.numeric if f.name not in SERVING_REQUIRED
+            f.name for f in self.feature_set.numeric
+            # genre-named numerics stay optional: the GENRE loop below
+            # defaults them to 0 exactly like the categorical flags
+            if f.name not in SERVING_REQUIRED and f.name not in GENRE
         ]
         missing = [k for k in required if k not in features]
         if missing:

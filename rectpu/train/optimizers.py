@@ -34,6 +34,13 @@ class Optimizer:
 BF16_SR = "bfloat16_sr"  # slot-dtype token: bf16 storage w/ stochastic rounding
 
 
+def _g32(g):
+    """Upcast a (possibly bf16, via table_grad_dtype) cotangent to fp32 before
+    slot products: bf16*bf16 promotes to bf16, rounding each g^2 / (1-b)*g
+    increment to 8 mantissa bits before it ever reaches the fp32 accumulator."""
+    return g.astype(jnp.float32) if g.dtype != jnp.float32 else g
+
+
 def stochastic_round_bf16(x: jax.Array, seed: jax.Array) -> jax.Array:
     """Unbiased fp32 -> bf16 downcast via stochastic rounding.
 
@@ -182,11 +189,9 @@ def adam(
     def _treemap_update(grads, state, params, t):
         tf_ = t.astype(jnp.float32)
         lr_t = learning_rate * jnp.sqrt(1.0 - beta2**tf_) / (1.0 - beta1**tf_)
-        # slot products from fp32-upcast grads: bf16 cotangents
-        # (table_grad_dtype) would otherwise round each (1-b)*g / g*g
-        # increment to 8 mantissa bits — and the fused kernel
+        # slot products from fp32-upcast grads (see _g32) — the fused kernel
         # (ops/fused_adam) computes fp32, so this keeps the paths matched
-        g32 = lambda g: g.astype(jnp.float32) if g.dtype != jnp.float32 else g
+        g32 = _g32
         m = jax.tree.map(
             lambda m_, g: down(
                 beta1 * up(m_, m_dtype) + (1 - beta1) * g32(g), m_dtype, t, m_.dtype
@@ -260,10 +265,14 @@ def adagrad(
             return a.astype(slot_dtype) if slot_dtype is not None else a
 
         if slot_dtype is None:
-            acc = jax.tree.map(lambda a, g: a + g * g, state["acc"], grads)
+            # fp32 g^2 even for bf16 cotangents; keep the slot's own dtype
+            acc = jax.tree.map(
+                lambda a, g: (a + _g32(g) * _g32(g)).astype(a.dtype),
+                state["acc"], grads,
+            )
         else:
             acc = jax.tree.map(
-                lambda a, g: down(up(a) + g.astype(jnp.float32) * g),
+                lambda a, g: down(up(a) + _g32(g) * _g32(g)),
                 state["acc"], grads,
             )
         # param update reads the STORED accumulator (dtype round-trip), like
@@ -332,7 +341,9 @@ def ftrl(
         }
 
     def update(grads, state, params):
-        n_new = jax.tree.map(lambda n, g: n + g * g, state["n"], grads)
+        n_new = jax.tree.map(
+            lambda n, g: (n + _g32(g) * _g32(g)).astype(n.dtype), state["n"], grads
+        )
 
         def z_up(z, g, w, n, nn):
             sigma = (jnp.sqrt(nn) - jnp.sqrt(n)) / learning_rate
@@ -446,13 +457,14 @@ def packed_wide_deep(
         table, p_rest = split(params)
         g_table, g_rest = split(grads)
 
-        # deep columns: Adagrad
-        acc = state["acc"] + g_table[:, :k] * g_table[:, :k]
+        # deep columns: Adagrad (fp32 g^2 even for bf16 cotangents, see _g32)
+        g_emb = _g32(g_table[:, :k])
+        acc = state["acc"] + g_emb * g_emb
         emb_new = table[:, :k] - deep_lr * g_table[:, :k] / jnp.sqrt(acc)
         # wide column: FTRL-proximal (TF defaults, l1=l2=0)
         g_w = g_table[:, k]
         w = table[:, k]
-        n_new = state["n"] + g_w * g_w
+        n_new = state["n"] + _g32(g_w) * _g32(g_w)
         sigma = (jnp.sqrt(n_new) - jnp.sqrt(state["n"])) / linear_lr
         z_new = state["z"] + g_w - sigma * w
         w_new = -z_new / (jnp.sqrt(n_new) / linear_lr)

@@ -217,7 +217,17 @@ def build_trainer(args, model, optimizer=None):
                 args.num_model_shards,
                 model.cfg.padded_buckets,
             )
-            np.save(perm_path, row_perm)
+            # atomic write, process 0 only: every process derives the same
+            # perm from the same resident CSV, but concurrent np.save to the
+            # shared path could expose a torn file to a later-starting reader
+            import os
+
+            import jax as _jax
+
+            if _jax.process_index() == 0:
+                tmp_perm = perm_path.parent / f".row_perm.{os.getpid()}.tmp.npy"
+                np.save(tmp_perm, row_perm)
+                os.replace(tmp_perm, perm_path)
             # relabel the histogram instead of re-scanning the dataset below
             post_perm_counts = np.zeros_like(counts)
             post_perm_counts[row_perm[: counts.shape[0]]] = counts
