@@ -36,7 +36,12 @@ import numpy as np
 
 from rectpu.features.schema import GENRE, FeatureSet, ml_100k_feature_set
 from rectpu.models import MODEL_REGISTRY, TowerConfig
-from rectpu.train.checkpoint import _flatten, _rebuild, _treedef_template
+from rectpu.train.checkpoint import (
+    _flatten,
+    _load_flat_npz,
+    _rebuild,
+    _treedef_template,
+)
 from rectpu.train.metrics import binary_predictions
 from rectpu.utils.logging import get_logger
 
@@ -303,8 +308,7 @@ def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingM
     parity) and skips Python retracing at startup."""
     export_dir = Path(export_dir)
     meta = json.loads((export_dir / "model.json").read_text())
-    with np.load(export_dir / "arrays.npz") as z:
-        flat = {k: z[k] for k in z.files}
+    flat = _load_flat_npz(export_dir / "arrays.npz")
     params = _rebuild(meta["template"], flat)
     tc = meta["tower_config"]
     feature_set = ml_100k_feature_set(numeric=tuple(meta.get("numeric_features", ())))

@@ -46,6 +46,20 @@ def _flatten(tree) -> dict:
     return flat
 
 
+def _load_flat_npz(path) -> dict:
+    """Read an npz written from ``_flatten`` output, undoing the bf16 uint16
+    tagging. Shared by checkpoint restore and export loading (a bf16 param
+    leaf — --table-dtype/--table-store bfloat16 — rides exports too)."""
+    with np.load(path) as z:
+        flat = {}
+        for k in z.files:
+            if k.endswith(_BF16_TAG):
+                flat[k[: -len(_BF16_TAG)]] = z[k].view(jnp.bfloat16)
+            else:
+                flat[k] = z[k]
+    return flat
+
+
 def _path_elem_str(p) -> str:
     if hasattr(p, "key"):
         return str(p.key)
@@ -170,13 +184,7 @@ class Checkpointer:
                 return None
         d = self._ckpt_dir(step)
         meta = json.loads((d / "meta.json").read_text())
-        with np.load(d / "arrays.npz") as z:
-            flat = {}
-            for k in z.files:
-                if k.endswith(_BF16_TAG):
-                    flat[k[: -len(_BF16_TAG)]] = z[k].view(jnp.bfloat16)
-                else:
-                    flat[k] = z[k]
+        flat = _load_flat_npz(d / "arrays.npz")
         tree = _rebuild(meta["template"], flat)
         return tree, meta
 

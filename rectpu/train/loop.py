@@ -243,6 +243,11 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         params = self.model.init(rng)
         opt_state = self.optimizer.init(params)
+        if getattr(self.optimizer, "prepare", None) is not None:
+            # e.g. bf16_param_store: downcast the stored table leaves (the
+            # fp32 masters were captured by optimizer.init above). A restored
+            # checkpoint overwrites both trees, already in stored form.
+            params = self.optimizer.prepare(params)
         step = 0
         data_state = None
 

@@ -29,6 +29,9 @@ class Optimizer:
     name: str
     init: Callable
     update: Callable  # (grads, state, params) -> (new_params, new_state)
+    # optional post-init param transform (fp32 model.init output -> the stored
+    # training params); the Trainer applies it once after optimizer.init
+    prepare: Callable | None = None
 
 
 BF16_SR = "bfloat16_sr"  # slot-dtype token: bf16 storage w/ stochastic rounding
@@ -385,6 +388,75 @@ def per_subtree(mapping: dict, default: Optimizer) -> Optimizer:
 
     names = ",".join(f"{k}:{v.name}" for k, v in mapping.items()) + f",*:{default.name}"
     return Optimizer(f"PerSubtree({names})", init, update)
+
+
+def bf16_param_store(
+    inner: Optimizer, leaves: tuple = ("table", "emb"), dtype=jnp.bfloat16
+) -> Optimizer:
+    """Mixed-precision parameter store: keep selected top-level param leaves
+    in ``dtype`` (the array every forward gather reads) while the fp32 MASTER
+    rides in the optimizer state; all update math stays exact fp32.
+
+    Contrast with ``--table-dtype bfloat16`` (bf16 master + stochastic
+    rounding — a CAPACITY feature that changes numerics): this is a PERF
+    feature with exact fp32 training. With an fp32 param and
+    gather_dtype=bf16, every step re-casts the full [V, K+1] master before
+    the gather (~119 MB of pure recast HBM traffic at the scaled 310k-row
+    config). Storing the bf16 copy as THE param makes that cast a no-op; the
+    fresh bf16 copy is emitted once per step from the new master, where XLA
+    fuses the downcast into the optimizer's param write-back sweep — the
+    recast's read+write becomes one fused write. Forward values are
+    bit-identical either way (both read round_bf16(master)); training is
+    BITWISE identical when the table cotangent already rides bf16
+    (table_grad_dtype=bfloat16, the scaled-config contract —
+    tests/test_train_e2e.py pins it). With an fp32 cotangent the leaf grad
+    picks up one extra bf16 rounding at the bf16 primal boundary (a single
+    round of the fp32-accumulated sum — strictly tighter than the
+    accumulate-in-bf16 rounding --table-grad-dtype opts into).
+
+    Requires the model's ``gather_dtype``/compute dtype to be ``dtype``
+    already, otherwise this CHANGES the forward (it would read bf16 where
+    fp32 was read before). ``init`` must see the fp32 params from
+    ``model.init``; the Trainer then applies ``prepare`` to downcast the
+    stored leaves. Missing leaves are skipped, so ("table", "emb") covers the
+    packed and unpacked table layouts across the model zoo. Checkpoint/
+    sharding need nothing special: the master is an ordinary state leaf with
+    the table's shape (the ParallelPlan's shape-keyed EP rule row-shards it
+    like the param it mirrors).
+    """
+
+    def picked(params):
+        return {
+            k: params[k]
+            for k in leaves
+            if isinstance(params, dict) and k in params
+        }
+
+    def init(params):
+        master = picked(params)
+        for k, p in master.items():
+            if p.dtype != jnp.float32:
+                raise ValueError(
+                    f"bf16_param_store.init needs fp32 masters; param {k!r} is "
+                    f"{p.dtype} (init from model.init output, not prepared params)"
+                )
+        return {"inner": inner.init(params), "master": master}
+
+    def prepare(params):
+        return {**params, **{k: v.astype(dtype) for k, v in picked(params).items()}}
+
+    def update(grads, state, params):
+        master = state["master"]
+        full = {**params, **master}  # the inner optimizer sees fp32 masters
+        new_full, new_inner = inner.update(grads, state["inner"], full)
+        new_master = {k: new_full[k] for k in master}
+        new_params = {
+            **new_full,
+            **{k: v.astype(dtype) for k, v in new_master.items()},
+        }
+        return new_params, {"inner": new_inner, "master": new_master}
+
+    return Optimizer(f"{inner.name}+Bf16Store", init, update, prepare=prepare)
 
 
 _REGISTRY = {

@@ -63,6 +63,15 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                              "neutral at the scaled bench config and -0.006 "
                              "test AUC at reference defaults. Adam only. "
                              "default: %(default)s")
+    parser.add_argument("--table-store", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype of the table the FORWARD reads. "
+                             "bfloat16 keeps the fp32 master in the optimizer "
+                             "state (exact fp32 training, unlike --table-dtype) "
+                             "and skips the per-step full-table f32->bf16 "
+                             "gather recast — the bf16 copy is emitted fused "
+                             "with the optimizer write-back. Requires "
+                             "--compute-dtype bfloat16. default: %(default)s")
     parser.add_argument("--streaming-io", action="store_true",
                         help="out-of-core input pipeline: parse+encode CSV in "
                              "windowed chunks with background prefetch instead "
@@ -288,6 +297,21 @@ def build_trainer(args, model, optimizer=None):
         loss_reduction=args.loss_reduction,
     )
     optimizer = optimizer or model.default_optimizer()
+    if getattr(args, "table_store", "float32") == "bfloat16":
+        import jax.numpy as jnp
+
+        from rectpu.train.optimizers import bf16_param_store
+
+        if model.cfg.jnp_compute_dtype != jnp.bfloat16:
+            # the forward must have been casting its gathers to bf16 already,
+            # or a bf16 store silently changes the model
+            raise ValueError("--table-store bfloat16 requires --compute-dtype bfloat16")
+        if model.cfg.jnp_table_dtype == jnp.bfloat16:
+            raise ValueError(
+                "--table-store bfloat16 is redundant with --table-dtype bfloat16 "
+                "(the master itself is already bf16)"
+            )
+        optimizer = bf16_param_store(optimizer)
     exporter = make_exporter(model, args.job_dir, row_perm=row_perm)
     trainer = Trainer(
         model, optimizer, train_ds, eval_ds, args.job_dir, config, plan=plan, exporter=exporter

@@ -251,3 +251,60 @@ def test_get_optimizer_adagrad_slot_dtype():
     assert get_optimizer("Adagrad", 0.05, slot_dtype=BF16_SR).name == "Adagrad"
     with pytest.raises(ValueError):
         get_optimizer("Ftrl", 0.01, slot_dtype=jnp.bfloat16)
+
+
+def test_bf16_param_store_bitwise_vs_recast_path():
+    """bf16_param_store trains BITWISE identically to the fp32-param path that
+    re-casts the table to bf16 in every forward (the gather_dtype contract):
+    both forwards read round_bf16(master), and the master update is exact."""
+    import jax
+
+    from rectpu.train.optimizers import bf16_param_store
+
+    rng = np.random.default_rng(0)
+    table0 = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    w0 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 64, size=(6, 16)).astype(np.int32))
+
+    def loss(params, i):
+        # astype is the recast on the fp32 path and a no-op on the bf16 store
+        rows = jnp.take(params["table"].astype(jnp.bfloat16), ids[i], axis=0)
+        h = rows @ params["w"].astype(jnp.bfloat16)
+        return (h.astype(jnp.float32) ** 2).mean()
+
+    opt_a = adam(0.01)
+    p_a = {"table": table0, "w": w0}
+    s_a = opt_a.init(p_a)
+
+    opt_b = bf16_param_store(adam(0.01))
+    p_b = {"table": table0, "w": w0}
+    s_b = opt_b.init(p_b)
+    p_b = opt_b.prepare(p_b)
+    assert p_b["table"].dtype == jnp.bfloat16
+    assert p_b["w"].dtype == jnp.float32  # only table leaves are stored bf16
+
+    for i in range(6):
+        g_a = jax.grad(loss)(p_a, i)
+        p_a, s_a = opt_a.update(g_a, s_a, p_a)
+        g_b = jax.grad(loss)(p_b, i)
+        p_b, s_b = opt_b.update(g_b, s_b, p_b)
+        np.testing.assert_array_equal(
+            np.asarray(p_a["table"]), np.asarray(s_b["master"]["table"])
+        )
+        np.testing.assert_array_equal(np.asarray(p_a["w"]), np.asarray(p_b["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(p_a["table"].astype(jnp.bfloat16), np.float32),
+            np.asarray(p_b["table"], np.float32),
+        )
+
+
+def test_bf16_param_store_init_rejects_prepared_params():
+    import pytest
+
+    from rectpu.train.optimizers import bf16_param_store
+
+    opt = bf16_param_store(adam(0.01))
+    good = {"table": jnp.zeros((4, 2), jnp.float32)}
+    prepared = opt.prepare(good)
+    with pytest.raises(ValueError, match="fp32 masters"):
+        opt.init(prepared)

@@ -224,3 +224,45 @@ def test_serialized_apply_matches_python(export_dir):
                 # XLA:CPU), which occasionally exceeds 1e-5 relative — observed
                 # as a rare full-suite-only flake
                 np.testing.assert_allclose(a[key], b[key], rtol=1e-4, atol=1e-5)
+
+
+def test_export_with_bf16_param_leaf_roundtrips():
+    """Exports whose table leaf is bf16 (--table-dtype / --table-store
+    bfloat16) load and predict on both paths. Regression: _flatten stores
+    bf16 leaves under a tagged uint16 key, and load_model read the npz raw,
+    so any bf16-leaf export died with KeyError at serve time."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import export_model, load_model
+
+    cfg = TowerConfig(feature_set=ml_100k_feature_set(), compute_dtype="bfloat16")
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    assert "emb" in params
+    params["emb"] = params["emb"].astype(jnp.bfloat16)  # stored-table form
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = export_model(params, model, Path(tmp), step=1)
+        feats = {
+            "user_id": np.array([1, 7]),
+            "item_id": np.array([10, 55]),
+            "age": np.array([25, 40]),
+            "gender": np.array(["F", "M"]),
+            "occupation": np.array(["student", "writer"]),
+            "zipcode": np.array(["85711", "10027"]),
+            "release_year": np.array([1994, 1987]),
+        }
+        served = load_model(d)
+        assert served.params["emb"].dtype == jnp.bfloat16
+        a = served.predict(dict(feats))
+        assert np.all(np.isfinite(a["probabilities"]))
+        hlo = load_model(d, use_serialized=True)
+        b = hlo.predict(dict(feats))
+        np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                                   rtol=1e-4, atol=1e-5)

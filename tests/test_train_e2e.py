@@ -222,3 +222,38 @@ def test_table_dtype_flag_guard(synthetic_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="requires the Adam optimizer"):
         lin_mod.train_and_evaluate(lin_args)
+
+
+def test_table_store_flag_matches_recast_path(synthetic_dir, tmp_path):
+    """--table-store bfloat16 (bf16 stored table + fp32 master in the
+    optimizer state) trains BITWISE identically to the fp32-param path when
+    the table cotangent already rides bf16 (--table-grad-dtype bfloat16, the
+    scaled-config contract): forward reads round(master) either way and the
+    master update is exact. With an fp32 cotangent the leaf grad picks up
+    one extra bf16 rounding (AUC-neutral, checked loosely). The
+    compute-dtype guard rejects an fp32-compute combination."""
+    exact = dict(compute_dtype="bfloat16", table_grad_dtype="bfloat16",
+                 embedding_impl="split")
+    mod, args = _args(
+        "deep_fm", synthetic_dir, tmp_path, train_steps=300,
+        table_store="bfloat16", **exact,
+    )
+    m = mod.train_and_evaluate(args)
+
+    mod2, args2 = _args("deep_fm", synthetic_dir, tmp_path / "ref",
+                        train_steps=300, **exact)
+    m2 = mod2.train_and_evaluate(args2)
+    assert abs(m["auc"] - m2["auc"]) < 1e-9, (m, m2)
+    assert abs(m["average_loss"] - m2["average_loss"]) < 1e-9
+
+    # default fp32 cotangent: one extra rounding on the leaf grad, not exact
+    mod3, args3 = _args("deep_fm", synthetic_dir, tmp_path / "loose",
+                        train_steps=300, compute_dtype="bfloat16",
+                        table_store="bfloat16")
+    m3 = mod3.train_and_evaluate(args3)
+    assert abs(m3["auc"] - m2["auc"]) < 0.02, (m3, m2)
+
+    bad_mod, bad_args = _args("deep_fm", synthetic_dir, tmp_path / "bad",
+                              train_steps=10, table_store="bfloat16")
+    with pytest.raises(ValueError, match="compute-dtype bfloat16"):
+        bad_mod.train_and_evaluate(bad_args)
