@@ -69,11 +69,43 @@ def init_mlp(rng, in_dim: int, hidden_units, out_dim: int = 1):
     return layers
 
 
-def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_dtype=None):
+def hash_dropout_mask(seed32, shape, rate: float):
+    """Counter-based Bernoulli(1-rate) keep mask: murmur3 finalizer over
+    (flat element index, seed) — ~8 VPU ops/element, no RNG state.
+
+    JAX's default threefry bernoulli burns ~100 ALU ops per pair of uint32s;
+    at the scaled config the two hidden-layer masks (3.1M elements) cost
+    ~0.25 ms of the 1.9 ms step. This is the same counter-hash trick as
+    optimizers.stochastic_round_bf16: deterministic given ``seed32`` (derive
+    it from the folded step rng), unbiased to ~2^-32."""
+    n = 1
+    for d in shape:
+        n *= int(d)
+    idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
+    h = idx * jnp.uint32(2654435761) + seed32 * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    keep_p = 1.0 - rate
+    thresh = jnp.uint32(min(0xFFFFFFFF, int(round(keep_p * 4294967296.0))))
+    return h < thresh
+
+
+def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_dtype=None,
+              dropout_impl: str = "threefry"):
     """Forward through hidden layers (activation + dropout) then linear logit."""
     act = get_activation(activation)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+    seed32 = None
+    if dropout > 0 and train and dropout_impl == "hash":
+        if rng is None:
+            raise ValueError("dropout requires an rng in train mode")
+        # one scalar threefry draw per step; the per-element randomness is the
+        # counter hash (hash_dropout_mask)
+        seed32 = jax.random.bits(rng, dtype=jnp.uint32)
     for i, layer in enumerate(layers[:-1]):
         kernel = layer["kernel"]
         bias = layer["bias"]
@@ -85,8 +117,14 @@ def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_d
         if dropout > 0 and train:
             if rng is None:
                 raise ValueError("dropout requires an rng in train mode")
-            drop_rng = jax.random.fold_in(rng, i)
-            keep = jax.random.bernoulli(drop_rng, 1.0 - dropout, x.shape)
+            if dropout_impl == "hash":
+                # decorrelate layers through the seed, not a fresh iota
+                keep = hash_dropout_mask(
+                    seed32 + jnp.uint32(0x7FEB352D) * jnp.uint32(i + 1), x.shape, dropout
+                )
+            else:
+                drop_rng = jax.random.fold_in(rng, i)
+                keep = jax.random.bernoulli(drop_rng, 1.0 - dropout, x.shape)
             x = jnp.where(keep, x / (1.0 - dropout), 0.0)
     last = layers[-1]
     kernel, bias = last["kernel"], last["bias"]
@@ -154,6 +192,11 @@ class TowerConfig:
     # stream — their B gradient rows land in a handful of table tiles and
     # would overflow the Pallas per-tile capacity (forcing its slow fallback).
     mxu_dense_threshold: int = 16384
+    # Dropout mask source: "threefry" = jax.random.bernoulli (TF-parity
+    # default); "hash" = counter-based murmur mask (hash_dropout_mask) —
+    # a different but equally-valid Bernoulli stream at a fraction of the
+    # VPU cost (the threefry masks cost ~0.25 ms of the 1.9 ms scaled step).
+    dropout_impl: str = "threefry"
 
     @property
     def num_fields(self) -> int:
@@ -200,6 +243,15 @@ def apply_linear_tower(tower, batch):
     if "w_num" in tower and batch.get("num_vals") is not None:
         logit = logit + batch["num_vals"].astype(jnp.float32) @ tower["w_num"]
     return logit
+
+
+def pack_fused_table(emb, w):
+    """[V, K+1] = [embedding | linear weight]: the packed single-table layout
+    shared by training init (models/deep_fm.py, models/wide_deep.py) and
+    post-training transforms (serve/quant.py). Keep the layout in ONE place —
+    serving dequantizes against exactly this column order."""
+    emb = jnp.asarray(emb)
+    return jnp.concatenate([emb, jnp.asarray(w)[:, None].astype(emb.dtype)], axis=1)
 
 
 def init_embedding_table(rng, cfg: TowerConfig):

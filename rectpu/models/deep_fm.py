@@ -25,6 +25,7 @@ from rectpu.models.base import (
     init_mlp,
     lookup_fields,
     numeric_field_embeddings,
+    pack_fused_table,
     truncated_normal,
 )
 from rectpu.ops.fm import fm_cross
@@ -72,9 +73,7 @@ class DeepFMModel:
             if self.packed:
                 emb = init_embedding_table(k_emb, cfg)
                 w = params["linear"].pop("w")  # folded into the table's last column
-                params["table"] = jnp.concatenate(
-                    [emb, w[:, None].astype(emb.dtype)], axis=1
-                )
+                params["table"] = pack_fused_table(emb, w)
             else:
                 params["emb"] = init_embedding_table(k_emb, cfg)
             if cfg.num_numeric:
@@ -157,6 +156,7 @@ class DeepFMModel:
             dnn_logit = apply_mlp(
                 params["mlp"], emb_flat, cfg.activation, cfg.dropout, train, rng,
                 compute_dtype=cfg.jnp_compute_dtype,
+                dropout_impl=cfg.dropout_impl,
             )
             logits = logits + dnn_logit[:, 0]
         return logits
@@ -169,7 +169,7 @@ class DeepFMModel:
         over the table — see TowerConfig.packed_linear)."""
         if self.packed:
             return params["table"]
-        return jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
+        return pack_fused_table(params["emb"], params["linear"]["w"])
 
     def apply_looked(self, params, looked, batch, train: bool = False, rng=None):
         """Tower math from pre-gathered rows.
@@ -204,6 +204,7 @@ class DeepFMModel:
             dnn_logit = apply_mlp(
                 params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
                 compute_dtype=cfg.jnp_compute_dtype,
+                dropout_impl=cfg.dropout_impl,
             )
             logits = logits + dnn_logit[:, 0]
 

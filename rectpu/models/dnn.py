@@ -88,6 +88,7 @@ class DNNModel:
         logit = apply_mlp(
             params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
             compute_dtype=cfg.jnp_compute_dtype,
+            dropout_impl=cfg.dropout_impl,
         )
         return logit[:, 0]
 

@@ -27,14 +27,14 @@ class WideDeepModel:
         self.packed = cfg.packed_linear and cfg.fuse_linear_lookup
 
     def init(self, rng) -> dict:
-        import jax.numpy as jnp
+        from rectpu.models.base import pack_fused_table
 
         params = self._dnn.init(rng)
         params["linear"] = init_linear_tower(self.cfg)
         if self.packed:
             emb = params.pop("emb")
             w = params["linear"].pop("w")
-            params["table"] = jnp.concatenate([emb, w[:, None].astype(emb.dtype)], axis=1)
+            params["table"] = pack_fused_table(emb, w)
         return params
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
@@ -53,7 +53,9 @@ class WideDeepModel:
         if self.packed:
             aug = params["table"]
         else:
-            aug = jnp.concatenate([params["emb"], params["linear"]["w"][:, None]], axis=1)
+            from rectpu.models.base import pack_fused_table
+
+            aug = pack_fused_table(params["emb"], params["linear"]["w"])
         if (
             cfg.flat_layout
             and cfg.num_numeric == 0
@@ -94,6 +96,7 @@ class WideDeepModel:
         deep = apply_mlp(
             params["mlp"], flat, cfg.activation, cfg.dropout, train, rng,
             compute_dtype=cfg.jnp_compute_dtype,
+            dropout_impl=cfg.dropout_impl,
         )[:, 0]
         return wide + deep
 

@@ -124,6 +124,12 @@ def add_deep_args(parser: ArgumentParser) -> None:
                         help="hidden layer specification (default: %(default)s)")
     parser.add_argument("--dropout", type=float, default=0.1,
                         help="dropout rate (default: %(default)s)")
+    parser.add_argument("--dropout-impl", choices=["threefry", "hash"],
+                        default="threefry",
+                        help="dropout mask source: 'hash' swaps the threefry "
+                             "bernoulli for a counter-based murmur mask "
+                             "(~8 VPU ops/element vs ~100; a different but "
+                             "equally-valid Bernoulli stream)")
     parser.add_argument("--flat-layout", action="store_true",
                         help="lane-packed [B, F*K] looked activations: no "
                              "[B, F, K+1] tile padding anywhere in the "

@@ -17,6 +17,7 @@ def train_and_evaluate(args):
         embedding_size=args.embedding_size,
         hidden_units=tuple(args.hidden_units),
         dropout=args.dropout,
+        dropout_impl=args.dropout_impl,
         embedding_impl=args.embedding_impl,
         compute_dtype=args.compute_dtype,
         table_grad_dtype=args.table_grad_dtype,

@@ -25,6 +25,7 @@ def train_and_evaluate(args):
         embedding_size=args.embedding_size,
         hidden_units=tuple(args.hidden_units),
         dropout=args.dropout,
+        dropout_impl=args.dropout_impl,
         embedding_impl=args.embedding_impl,
         fm_impl=args.fm_impl,
         compute_dtype=args.compute_dtype,
