@@ -278,6 +278,35 @@ def bench_kernels() -> dict:
             fn, lambda out, u: u + (out.sum() * 1e-12).astype(u.dtype), sc_upd
         )
 
+    # serving-shape gather: fp32 vs int8+per-row-scale dequant (serve/quant),
+    # 8192x26 ids over the 310k-row scaled table
+    big_table = jnp.asarray(
+        np.random.default_rng(4).normal(size=(v_rows, 65)).astype(np.float32)
+    )
+    from rectpu.serve.quant import quantize_rows
+
+    q_np, s_np = quantize_rows(np.asarray(big_table))
+    qt = {"q": jnp.asarray(q_np), "s": jnp.asarray(s_np)}
+    g_ids = jnp.asarray(
+        np.random.default_rng(5).integers(0, v_rows, size=(8192, 26)).astype(np.int32)
+    )
+
+    def f32_gather(t):
+        return jnp.take(t, g_ids, axis=0)
+
+    results["serve_gather_f32_ms"] = 1e3 * timeit_chained(
+        f32_gather, lambda out, t: t + out.sum() * 1e-12, big_table
+    )
+
+    def int8_gather(s):
+        from rectpu.serve.quant import dequant_lookup
+
+        return dequant_lookup({"q": qt["q"], "s": s}, g_ids)
+
+    results["serve_gather_int8_ms"] = 1e3 * timeit_chained(
+        int8_gather, lambda out, s: s + out.sum() * 1e-12, qt["s"]
+    )
+
     for k_, v_ in results.items():
         log(f"kernel {k_}: {v_:.3f} ms")
     return results

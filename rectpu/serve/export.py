@@ -50,6 +50,16 @@ logger = get_logger(__name__)
 SERVING_REQUIRED = ["user_id", "item_id", "age", "gender", "occupation", "zipcode", "release_year"]
 
 
+def model_toggle_kwargs(model) -> dict:
+    """The component-toggle ctor kwargs a model family exposes (DeepFM's
+    use_linear/use_mf/use_dnn), for rebuilding an equivalent instance."""
+    return {
+        k: getattr(model, k)
+        for k in ("use_linear", "use_mf", "use_dnn")
+        if hasattr(model, k)
+    }
+
+
 def _serialized_apply_bytes(model, params_host) -> bytes:
     """Serialize the inference graph with jax.export.
 
@@ -70,12 +80,7 @@ def _serialized_apply_bytes(model, params_host) -> bytes:
     cfg_safe = dataclasses.replace(
         model.cfg, fm_impl="xla", embedding_impl="take", flat_layout=False
     )
-    kwargs = {
-        k: getattr(model, k)
-        for k in ("use_linear", "use_mf", "use_dnn")
-        if hasattr(model, k)
-    }
-    export_model_obj = model.__class__(cfg_safe, **kwargs)
+    export_model_obj = model.__class__(cfg_safe, **model_toggle_kwargs(model))
 
     (b,) = jax_export.symbolic_shape("b")
     fs = model.cfg.feature_set
@@ -141,11 +146,7 @@ def export_model(
                 "packed_linear": cfg.packed_linear,
             },
             "numeric_features": [f.name for f in cfg.feature_set.numeric],
-            "model_kwargs": {
-                k: getattr(model, k)
-                for k in ("use_linear", "use_mf", "use_dnn")
-                if hasattr(model, k)
-            },
+            "model_kwargs": model_toggle_kwargs(model),
         }
         if row_perm is not None:
             # training relabeled row ids (frequency-aware EP placement,
@@ -177,7 +178,10 @@ def latest_export(job_dir: str | Path) -> Path | None:
     if not base.exists():
         return None
     exports = sorted(
-        p for p in base.iterdir() if p.is_dir() and (p / "model.json").exists()
+        p for p in base.iterdir()
+        # dot-prefixed dirs are in-flight tmp/backup artifacts (export_model,
+        # serve/quant in-place swap) — never serve them
+        if p.is_dir() and not p.name.startswith(".") and (p / "model.json").exists()
     )
     return exports[-1] if exports else None
 
@@ -329,7 +333,18 @@ def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingM
     kwargs = meta.get("model_kwargs", {})
     model = model_cls(cfg, **kwargs) if kwargs else model_cls(cfg)
     apply_fn = None
-    if use_serialized:
+    if meta.get("table_quant") == "int8":
+        # int8-quantized artifact (serve/quant.py): the table leaf is
+        # {"q", "s"}; predictions must go through the dequantizing gather
+        if use_serialized:
+            raise ValueError(
+                "quantized exports carry no serialized graph (it was traced "
+                "over fp32 params); load without use_serialized"
+            )
+        from rectpu.serve.quant import make_quantized_apply
+
+        apply_fn = make_quantized_apply(model)
+    elif use_serialized:
         blob_path = export_dir / "apply.jaxexport"
         if not (meta.get("serialized_apply") and blob_path.exists()):
             raise FileNotFoundError(f"no serialized apply graph in {export_dir}")

@@ -90,7 +90,7 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
           host: str = "127.0.0.1", port: int = 8080, use_serialized: bool = False,
           compilation_cache_dir: str | None = "/tmp/jax_cache",
           batch_window_ms: float = 2.0, max_in_flight: int = 4,
-          num_dispatchers: int = 1):
+          num_dispatchers: int = 1, table_quant: str | None = None):
     if compilation_cache_dir:
         # persistent XLA cache: without it every server start recompiles the
         # predict buckets (minutes over a remote-compile TPU tunnel)
@@ -105,7 +105,18 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
         export_dir = latest_export(job_dir)
         if export_dir is None:
             raise FileNotFoundError(f"no export under {job_dir}/export/exporter")
+    if use_serialized and table_quant:
+        # the StableHLO graph was traced over fp params — quantized serving
+        # retraces the Python model, contradicting the explicit --serialized
+        raise ValueError("--serialized and --table-quant are mutually exclusive")
     served = load_model(export_dir, use_serialized=use_serialized)
+    if table_quant == "int8":
+        # in-memory post-training quantization (serve/quant.py); pre-quantized
+        # exports (model.json table_quant) need no flag — load_model handles them
+        from rectpu.serve.quant import quantize_serving
+
+        served = quantize_serving(served)
+        logger.info("embedding table quantized to int8 (per-row scales)")
     logger.info("serving %s (required features: %s)", export_dir, SERVING_REQUIRED)
     logger.info("warming up predict compile...")
     served.warmup(sizes=(1, 2, 8, 64, 512))
@@ -142,6 +153,9 @@ if __name__ == "__main__":
     ap.add_argument("--max-in-flight", type=int, default=4,
                     help="batches allowed in flight on the device before the "
                          "dispatcher backpressures (pipelining depth)")
+    ap.add_argument("--table-quant", choices=["int8"], default=None,
+                    help="quantize the embedding table at load time "
+                         "(per-row int8; ~4x less gather HBM at predict)")
     ap.add_argument("--num-dispatchers", type=int, default=1,
                     help="dispatcher threads: 1 = pipelined single dispatcher "
                          "(co-located TPU); >1 = pool overlapping dispatch "
@@ -150,4 +164,4 @@ if __name__ == "__main__":
     serve(a.job_dir, a.export_dir, a.host, a.port, use_serialized=a.serialized,
           compilation_cache_dir=a.compilation_cache_dir,
           batch_window_ms=a.batch_window_ms, max_in_flight=a.max_in_flight,
-          num_dispatchers=a.num_dispatchers)
+          num_dispatchers=a.num_dispatchers, table_quant=a.table_quant)
