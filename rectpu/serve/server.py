@@ -38,17 +38,95 @@ def instances_to_columns(instances: list[dict]) -> dict:
     return columns
 
 
-def make_handler(served):
+class ModelVersions:
+    """ML-Engine-style model/version registry over a job dir.
+
+    Every export under ``<job_dir>/export/exporter/<ts>/`` is a servable
+    version named by its timestamp (the reference's ``gcloud ml-engine
+    versions create v1 --origin <latest export>`` flow,
+    /root/reference/scripts/mle_deploy.sh:9-16 — here ALL exported versions
+    stay addressable, newest = default). Versions load lazily on first
+    request; the default loads eagerly at startup.
+    """
+
+    def __init__(self, job_dir, model_name: str, loader, wrap=None):
+        from pathlib import Path
+
+        self.model_name = model_name
+        self._loader = loader  # (export_dir) -> ServingModel
+        self._wrap = wrap or (lambda served: served)  # e.g. MicroBatcher
+        base = Path(job_dir) / "export" / "exporter"
+        self._dirs = {
+            p.name: p
+            for p in sorted(base.iterdir())
+            if p.is_dir() and not p.name.startswith(".") and (p / "model.json").exists()
+        } if base.exists() else {}
+        if not self._dirs:
+            raise FileNotFoundError(f"no exports under {base}")
+        # newest timestamp wins; non-numeric names (e.g. a quantized artifact
+        # written into the exporter dir) never outrank a timestamped export
+        self.default_version = max(
+            self._dirs, key=lambda v: (v.isdigit(), int(v) if v.isdigit() else 0, v)
+        )
+        self._loaded: dict = {}
+        self._lock = __import__("threading").Lock()
+
+    def versions(self) -> list[str]:
+        return sorted(self._dirs)
+
+    def get(self, version: str | None = None):
+        v = version or self.default_version
+        if v not in self._dirs:
+            raise KeyError(f"unknown version {v!r} of model {self.model_name!r}")
+        with self._lock:
+            if v not in self._loaded:
+                served = self._loader(self._dirs[v])
+                served.warmup(sizes=(1,))
+                self._loaded[v] = self._wrap(served)
+        return self._loaded[v]
+
+    def listing(self) -> dict:
+        name = f"models/{self.model_name}"
+        return {
+            "name": name,
+            "defaultVersion": {"name": f"{name}/versions/{self.default_version}"},
+            "versions": [{"name": f"{name}/versions/{v}"} for v in self.versions()],
+        }
+
+
+def _route(path: str, versions: "ModelVersions | None"):
+    """Resolve a POST path to a (version | None, ok) pair.
+
+    Accepts the flat routes (/predict, /v1/predict) and, when a registry is
+    active, /v1/models/<name>:predict and /v1/models/<name>/versions/<v>:predict."""
+    flat = path.rstrip("/") in ("/predict", "/v1/predict", "")
+    if flat:
+        return None, True
+    if versions is not None and path.startswith("/v1/models/") and path.endswith(":predict"):
+        middle = path[len("/v1/models/"):-len(":predict")]
+        parts = middle.split("/")
+        if parts[0] != versions.model_name:
+            return None, False
+        if len(parts) == 1:
+            return None, True
+        if len(parts) == 3 and parts[1] == "versions":
+            return parts[2], True
+    return None, False
+
+
+def make_handler(served, versions: "ModelVersions | None" = None):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
-            if self.path.rstrip("/") not in ("/predict", "/v1/predict", ""):
+            version, ok = _route(self.path, versions)
+            if not ok:
                 self.send_error(404)
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 instances = body["instances"]
-                out = served.predict(instances_to_columns(instances))
+                target = versions.get(version) if versions is not None else served
+                out = target.predict(instances_to_columns(instances))
                 predictions = [
                     {
                         "probabilities": float(out["probabilities"][i]),
@@ -65,18 +143,29 @@ def make_handler(served):
                 self.wfile.write(payload)
             except Exception as e:  # surface the error to the client
                 payload = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
-                self.send_response(400)
+                self.send_response(404 if isinstance(e, KeyError) else 400)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
 
         def do_GET(self):
-            if self.path.rstrip("/") == "/healthz":
+            path = self.path.rstrip("/")
+            if path == "/healthz":
                 self.send_response(200)
                 self.send_header("Content-Length", "2")
                 self.end_headers()
                 self.wfile.write(b"ok")
+            elif (
+                versions is not None
+                and path == f"/v1/models/{versions.model_name}"
+            ):
+                payload = json.dumps(versions.listing()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             else:
                 self.send_error(404)
 
@@ -90,7 +179,8 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
           host: str = "127.0.0.1", port: int = 8080, use_serialized: bool = False,
           compilation_cache_dir: str | None = "/tmp/jax_cache",
           batch_window_ms: float = 2.0, max_in_flight: int = 4,
-          num_dispatchers: int = 1, table_quant: str | None = None):
+          num_dispatchers: int = 1, table_quant: str | None = None,
+          all_versions: bool = False, model_name: str = "default"):
     if compilation_cache_dir:
         # persistent XLA cache: without it every server start recompiles the
         # predict buckets (minutes over a remote-compile TPU tunnel)
@@ -101,36 +191,58 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
-    if export_dir is None:
-        export_dir = latest_export(job_dir)
-        if export_dir is None:
-            raise FileNotFoundError(f"no export under {job_dir}/export/exporter")
     if use_serialized and table_quant:
         # the StableHLO graph was traced over fp params — quantized serving
         # retraces the Python model, contradicting the explicit --serialized
         raise ValueError("--serialized and --table-quant are mutually exclusive")
-    served = load_model(export_dir, use_serialized=use_serialized)
-    if table_quant == "int8":
-        # in-memory post-training quantization (serve/quant.py); pre-quantized
-        # exports (model.json table_quant) need no flag — load_model handles them
-        from rectpu.serve.quant import quantize_serving
 
-        served = quantize_serving(served)
-        logger.info("embedding table quantized to int8 (per-row scales)")
-    logger.info("serving %s (required features: %s)", export_dir, SERVING_REQUIRED)
-    logger.info("warming up predict compile...")
-    served.warmup(sizes=(1, 2, 8, 64, 512))
-    logger.info("warmup done")
-    if batch_window_ms > 0:
+    def loader(edir):
+        m = load_model(edir, use_serialized=use_serialized)
+        if table_quant == "int8":
+            # in-memory post-training quantization (serve/quant.py);
+            # pre-quantized exports (model.json table_quant) need no flag
+            from rectpu.serve.quant import quantize_serving
+
+            m = quantize_serving(m)
+            logger.info("embedding table quantized to int8 (per-row scales)")
+        return m
+
+    def wrap(m):
+        if batch_window_ms <= 0:
+            return m
         # coalesce concurrent requests into one device dispatch (ML-Engine
         # server-side batching parity); the handler only needs .predict()
         from rectpu.serve.batching import MicroBatcher
 
-        served = MicroBatcher(served, max_delay_ms=batch_window_ms,
-                              max_in_flight=max_in_flight,
-                              num_dispatchers=num_dispatchers)
-        logger.info("request micro-batching on (window %.1f ms)", batch_window_ms)
-    httpd = ThreadingHTTPServer((host, port), make_handler(served))
+        return MicroBatcher(m, max_delay_ms=batch_window_ms,
+                            max_in_flight=max_in_flight,
+                            num_dispatchers=num_dispatchers)
+
+    versions = None
+    if all_versions:
+        if export_dir is not None:
+            raise ValueError("--all-versions serves a job dir, not --export-dir")
+        # every export stays addressable: /v1/models/<name>/versions/<ts>:predict
+        versions = ModelVersions(job_dir, model_name, loader, wrap)
+        served = versions.get()  # loads + warms the default (newest) version
+        logger.info(
+            "serving model %r versions %s (default %s) from %s",
+            model_name, versions.versions(), versions.default_version, job_dir,
+        )
+    else:
+        if export_dir is None:
+            export_dir = latest_export(job_dir)
+            if export_dir is None:
+                raise FileNotFoundError(f"no export under {job_dir}/export/exporter")
+        base = loader(export_dir)
+        logger.info("serving %s (required features: %s)", export_dir, SERVING_REQUIRED)
+        logger.info("warming up predict compile...")
+        base.warmup(sizes=(1, 2, 8, 64, 512))
+        logger.info("warmup done")
+        served = wrap(base)
+        if batch_window_ms > 0:
+            logger.info("request micro-batching on (window %.1f ms)", batch_window_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(served, versions))
     logger.info("listening on http://%s:%d/predict", host, port)
     httpd.serve_forever()
 
@@ -160,8 +272,15 @@ if __name__ == "__main__":
                     help="dispatcher threads: 1 = pipelined single dispatcher "
                          "(co-located TPU); >1 = pool overlapping dispatch "
                          "round trips (high-latency tunneled backends)")
+    ap.add_argument("--all-versions", action="store_true",
+                    help="serve EVERY export under the job dir as an "
+                         "addressable version (/v1/models/<name>/versions/"
+                         "<ts>:predict; newest = default), ML-Engine style")
+    ap.add_argument("--model-name", default="default",
+                    help="model name for the /v1/models/<name> routes")
     a = ap.parse_args()
     serve(a.job_dir, a.export_dir, a.host, a.port, use_serialized=a.serialized,
           compilation_cache_dir=a.compilation_cache_dir,
           batch_window_ms=a.batch_window_ms, max_in_flight=a.max_in_flight,
-          num_dispatchers=a.num_dispatchers, table_quant=a.table_quant)
+          num_dispatchers=a.num_dispatchers, table_quant=a.table_quant,
+          all_versions=a.all_versions, model_name=a.model_name)

@@ -1,0 +1,128 @@
+"""ML-Engine-style multi-version serving (serve/server.py::ModelVersions)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def job_dir(tmp_path_factory):
+    """A job dir with TWO exports whose predictions differ."""
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import export_model
+
+    tmp = tmp_path_factory.mktemp("versions")
+    cfg = TowerConfig(feature_set=ml_100k_feature_set())
+    model = DeepFMModel(cfg)
+    for step, seed in ((100, 0), (200, 1)):
+        params = model.init(jax.random.PRNGKey(seed))
+        export_model(params, model, tmp, step=step)
+    return tmp
+
+
+def _req(port, path, body=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+INSTANCE = {"user_id": 1, "item_id": 10, "age": 25, "gender": "F",
+            "occupation": "student", "zipcode": "85711", "release_year": 1994}
+
+
+def test_registry_discovery_and_lazy_loading(job_dir):
+    from rectpu.serve.export import load_model
+    from rectpu.serve.server import ModelVersions
+
+    mv = ModelVersions(job_dir, "ctr", load_model)
+    assert len(mv.versions()) == 2
+    assert mv.default_version == mv.versions()[-1]
+    assert mv._loaded == {}  # nothing loaded yet
+    s = mv.get()
+    assert mv.get() is s  # cached
+    assert len(mv._loaded) == 1  # only the default materialized
+    with pytest.raises(KeyError, match="unknown version"):
+        mv.get("nope")
+
+    listing = mv.listing()
+    assert listing["name"] == "models/ctr"
+    assert len(listing["versions"]) == 2
+    assert listing["defaultVersion"]["name"].endswith(mv.default_version)
+
+
+def test_http_version_routing(job_dir):
+    from http.server import ThreadingHTTPServer
+
+    from rectpu.serve.export import load_model
+    from rectpu.serve.server import ModelVersions, make_handler
+
+    mv = ModelVersions(job_dir, "ctr", load_model)
+    v_old, v_new = mv.versions()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(None, mv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        body = {"instances": [INSTANCE]}
+        # flat route and named-model route hit the default (newest) version
+        flat = _req(port, "/predict", body)["predictions"][0]
+        named = _req(port, "/v1/models/ctr:predict", body)["predictions"][0]
+        newest = _req(port, f"/v1/models/ctr/versions/{v_new}:predict", body)["predictions"][0]
+        assert flat == named == newest
+        # the older version is addressable and differs (different init seed)
+        oldest = _req(port, f"/v1/models/ctr/versions/{v_old}:predict", body)["predictions"][0]
+        assert not np.isclose(oldest["probabilities"], newest["probabilities"])
+
+        # version listing
+        listing = _req(port, "/v1/models/ctr")
+        assert {v["name"].rsplit("/", 1)[1] for v in listing["versions"]} == {v_old, v_new}
+
+        # unknown version -> 404 with an error payload
+        try:
+            _req(port, "/v1/models/ctr/versions/999:predict", body)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert "unknown version" in json.loads(e.read())["error"]
+
+        # wrong model name -> 404
+        try:
+            _req(port, "/v1/models/other:predict", body)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_single_model_handler_unchanged(job_dir):
+    """Without a registry the handler keeps its original contract."""
+    from http.server import ThreadingHTTPServer
+
+    from rectpu.serve.export import latest_export, load_model
+    from rectpu.serve.server import make_handler
+
+    served = load_model(latest_export(job_dir))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(served))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        out = _req(port, "/predict", {"instances": [INSTANCE]})
+        assert len(out["predictions"]) == 1
+        # versioned routes 404 without a registry
+        try:
+            _req(port, "/v1/models/ctr:predict", {"instances": [INSTANCE]})
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
