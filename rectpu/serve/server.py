@@ -114,6 +114,30 @@ def _route(path: str, versions: "ModelVersions | None"):
     return None, False
 
 
+def _server_metrics(served, versions: "ModelVersions | None") -> dict:
+    """Stats for /metrics: request/latency counters plus, when micro-batching
+    is on, the batcher's coalescing counters (MicroBatcher.requests_served
+    etc.). With a version registry, per-loaded-version stats."""
+
+    def one(target):
+        m = {}
+        for k in ("requests_served", "batches_dispatched", "rows_dispatched"):
+            if hasattr(target, k):
+                m[k] = getattr(target, k)
+        if m.get("batches_dispatched"):
+            m["rows_per_batch"] = round(m["rows_dispatched"] / m["batches_dispatched"], 2)
+        return m
+
+    if versions is not None:
+        return {
+            "model": versions.model_name,
+            "default_version": versions.default_version,
+            "versions_available": versions.versions(),
+            "versions_loaded": {v: one(t) for v, t in versions._loaded.items()},
+        }
+    return one(served)
+
+
 def make_handler(served, versions: "ModelVersions | None" = None):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -156,6 +180,13 @@ def make_handler(served, versions: "ModelVersions | None" = None):
                 self.send_header("Content-Length", "2")
                 self.end_headers()
                 self.wfile.write(b"ok")
+            elif path == "/metrics":
+                payload = json.dumps(_server_metrics(served, versions)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             elif (
                 versions is not None
                 and path == f"/v1/models/{versions.model_name}"

@@ -104,6 +104,30 @@ def test_http_version_routing(job_dir):
         httpd.shutdown()
 
 
+def test_metrics_endpoint(job_dir):
+    from http.server import ThreadingHTTPServer
+
+    from rectpu.serve.batching import MicroBatcher
+    from rectpu.serve.export import load_model
+    from rectpu.serve.server import ModelVersions, make_handler
+
+    mv = ModelVersions(job_dir, "ctr", load_model, wrap=MicroBatcher)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(None, mv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        m0 = _req(port, "/metrics")
+        assert m0["versions_loaded"] == {}  # lazy: nothing served yet
+        _req(port, "/predict", {"instances": [INSTANCE, INSTANCE]})
+        m1 = _req(port, "/metrics")
+        stats = m1["versions_loaded"][m1["default_version"]]
+        assert stats["requests_served"] == 1
+        assert stats["rows_dispatched"] == 2
+        assert m1["versions_available"] == mv.versions()
+    finally:
+        httpd.shutdown()
+
+
 def test_single_model_handler_unchanged(job_dir):
     """Without a registry the handler keeps its original contract."""
     from http.server import ThreadingHTTPServer
