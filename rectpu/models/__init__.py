@@ -1,5 +1,6 @@
 from rectpu.models.base import TowerConfig
 from rectpu.models.deep_fm import DeepFMModel
+from rectpu.models.dlrm import DLRMModel
 from rectpu.models.dnn import DNNModel
 from rectpu.models.linear import LinearModel
 from rectpu.models.wide_deep import WideDeepModel
@@ -9,6 +10,7 @@ MODEL_REGISTRY = {
     "deep": DNNModel,
     "linear_deep": WideDeepModel,
     "deep_fm": DeepFMModel,
+    "dlrm": DLRMModel,
 }
 
 __all__ = [
@@ -17,5 +19,6 @@ __all__ = [
     "DNNModel",
     "WideDeepModel",
     "DeepFMModel",
+    "DLRMModel",
     "MODEL_REGISTRY",
 ]

@@ -51,11 +51,15 @@ SERVING_REQUIRED = ["user_id", "item_id", "age", "gender", "occupation", "zipcod
 
 
 def model_toggle_kwargs(model) -> dict:
-    """The component-toggle ctor kwargs a model family exposes (DeepFM's
-    use_linear/use_mf/use_dnn), for rebuilding an equivalent instance."""
+    """The ctor kwargs a model family needs to rebuild an equivalent
+    instance: DeepFM's use_linear/use_mf/use_dnn toggles by default, or a
+    model-declared EXPORT_KWARGS tuple (DLRM's bot_hidden_units etc.).
+    Values must be JSON-serializable; tuples round-trip as lists, so ctors
+    must accept either."""
+    keys = getattr(model, "EXPORT_KWARGS", ("use_linear", "use_mf", "use_dnn"))
     return {
-        k: getattr(model, k)
-        for k in ("use_linear", "use_mf", "use_dnn")
+        k: (list(v) if isinstance(v := getattr(model, k), tuple) else v)
+        for k in keys
         if hasattr(model, k)
     }
 
