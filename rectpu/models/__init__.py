@@ -1,4 +1,5 @@
 from rectpu.models.base import TowerConfig
+from rectpu.models.dcn import DCNModel
 from rectpu.models.deep_fm import DeepFMModel
 from rectpu.models.dlrm import DLRMModel
 from rectpu.models.dnn import DNNModel
@@ -11,6 +12,7 @@ MODEL_REGISTRY = {
     "linear_deep": WideDeepModel,
     "deep_fm": DeepFMModel,
     "dlrm": DLRMModel,
+    "dcn": DCNModel,
 }
 
 __all__ = [
@@ -20,5 +22,6 @@ __all__ = [
     "WideDeepModel",
     "DeepFMModel",
     "DLRMModel",
+    "DCNModel",
     "MODEL_REGISTRY",
 ]
