@@ -99,11 +99,36 @@ class DCNModel:
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
         cfg = self.cfg
-        emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
-        if cfg.num_numeric:
-            num = numeric_field_embeddings(params["num_emb"], batch, cfg)
-            emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
-        x0 = emb.reshape(emb.shape[0], -1)
+        if (
+            cfg.flat_layout
+            and cfg.num_numeric == 0
+            and (lookup_fn is None or getattr(lookup_fn, "flat_variant", None))
+        ):
+            # lane-packed lookup: [B, F*K] IS x0 — no [B, F, K] tile padding,
+            # no flatten relayout (the DNN flat path, feeding cross layers)
+            from rectpu.ops.embedding import lookup_flat
+
+            fs = cfg.feature_set
+            field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+            flat_fn = getattr(lookup_fn, "flat_variant", None)
+            if flat_fn is not None:
+                x0, _ = flat_fn(params["emb"], batch["cat_ids"], has_lin=False)
+            else:
+                x0, _ = lookup_flat(
+                    params["emb"], batch["cat_ids"], field_info,
+                    cfg.embedding_size,
+                    small_threshold=cfg.split_threshold,
+                    gather_dtype=cfg.jnp_compute_dtype,
+                    grad_dtype=cfg.jnp_table_grad_dtype,
+                    scatter_impl=cfg.scatter_impl,
+                    dense_threshold=cfg.mxu_dense_threshold,
+                )
+        else:
+            emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
+            if cfg.num_numeric:
+                num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+                emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
+            x0 = emb.reshape(emb.shape[0], -1)
         if cfg.jnp_compute_dtype is not None:
             x0 = x0.astype(cfg.jnp_compute_dtype)
         x = x0

@@ -25,6 +25,9 @@ def train_and_evaluate(args):
         compute_dtype=args.compute_dtype,
         table_grad_dtype=args.table_grad_dtype,
         table_dtype=args.table_dtype,
+        flat_layout=args.flat_layout,
+        scatter_impl=args.scatter_impl,
+        table_padding=2048 if args.scatter_impl == "mxu" else 128,
     )
     model = DCNModel(
         cfg,

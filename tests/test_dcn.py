@@ -109,6 +109,40 @@ def test_trainer_learns_exports_and_serves(synthetic_dir, tmp_path):
     np.testing.assert_allclose(a["probabilities"], b["probabilities"], atol=0.03)
 
 
+@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
+def test_flat_layout_matches_3d_path(scatter_impl, rng):
+    """flat_layout x0 == reshape of the 3D lookup: logits AND full grads."""
+    from rectpu.train.metrics import sigmoid_xent
+
+    fs = ml_100k_feature_set()
+    pad = 2048 if scatter_impl == "mxu" else 128
+    base = dict(feature_set=fs, embedding_size=8, hidden_units=(16,),
+                table_padding=pad)
+    m3 = DCNModel(TowerConfig(**base), num_cross_layers=2)
+    mf = DCNModel(TowerConfig(**base, flat_layout=True, scatter_impl=scatter_impl),
+                  num_cross_layers=2)
+    params = m3.init(jax.random.PRNGKey(0))
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [fs.offsets[f] + rng.integers(0, fs.field_sizes[f], size=64)
+             for f in range(fs.num_fields)], axis=1).astype(np.int32)),
+        "num_vals": jnp.zeros((64, 0), jnp.float32),
+    }
+    labels = jnp.asarray((rng.random(64) < 0.3).astype(np.float32))
+
+    def loss(model, p):
+        return sigmoid_xent(model.apply(p, batch), labels).mean()
+
+    l3, g3 = jax.value_and_grad(lambda p: loss(m3, p))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(mf, p))(params)
+    assert np.isclose(float(l3), float(lf), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        jax.device_get(g3), jax.device_get(gf),
+    )
+
+
 def test_export_kwargs_roundtrip(tmp_path):
     import json
 
