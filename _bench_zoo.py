@@ -1,0 +1,81 @@
+"""Scaled-config training throughput for the extra model families (DLRM, DCN).
+
+Same measurement discipline as bench.py (chained pipelined dispatch over
+pre-staged batches, donated state): batch 8192, K=64, the large hashed
+vocab, bf16 towers. DLRM runs the 3D lookup (its interaction block needs
+[B, F, K]); DCN runs the lane-packed flat layout + mxu scatter like the
+DeepFM headline.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from bench import random_superbatch, scaled_feature_set
+from rectpu.models import DCNModel, DLRMModel, TowerConfig
+from rectpu.train.metrics import sigmoid_xent
+from rectpu.train.optimizers import BF16_SR, adam
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure(model, staged, batch, steps=200):
+    params = model.init(jax.random.PRNGKey(0))
+    opt = adam(learning_rate=0.001, slot_dtype={"m": jnp.bfloat16, "v": BF16_SR})
+    rng = jax.random.PRNGKey(1)
+
+    def train(params, opt_state, step, b):
+        step_rng = jax.random.fold_in(rng, step)
+
+        def loss_fn(p):
+            logits = model.apply(p, b, train=True, rng=step_rng)
+            return sigmoid_xent(logits, b["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    fj = jax.jit(train, donate_argnums=(0, 1))
+    state = fj(params, opt.init(params), jnp.asarray(0, jnp.int32), staged[0])
+    jax.block_until_ready(state[-1])
+    t0 = time.time()
+    for i in range(steps):
+        state = fj(*state[:-1], jnp.asarray(i + 1, jnp.int32), staged[i % len(staged)])
+    jax.block_until_ready(state[-1])
+    ms = 1e3 * (time.time() - t0) / steps
+    log(f"{model.name}: {ms:.3f} ms/step = {batch/ms*1000:,.0f} examples/s")
+    return ms
+
+
+def main():
+    batch = 8192
+    fs = scaled_feature_set()
+    sb = random_superbatch(fs, 8, batch)
+    staged = [{k: jax.device_put(v[i]) for k, v in sb.items()} for i in range(8)]
+
+    base = dict(feature_set=fs, embedding_size=64, hidden_units=(256, 128),
+                dropout=0.1, compute_dtype="bfloat16",
+                table_grad_dtype="bfloat16")
+    # DCN: flat layout + mxu scatter (the headline path); 2 full-rank cross
+    # layers over D=1664 plus the MLP
+    measure(DCNModel(TowerConfig(**base, flat_layout=True, scatter_impl="mxu",
+                                 table_padding=2048), num_cross_layers=2),
+            staged, batch)
+    # DCN low-rank variant (r=256: 6.5x fewer cross FLOPs)
+    measure(DCNModel(TowerConfig(**base, flat_layout=True, scatter_impl="mxu",
+                                 table_padding=2048),
+                     num_cross_layers=2, low_rank=256),
+            staged, batch)
+    # DLRM: 3D lookup (split impl), pairwise-dot interactions
+    measure(DLRMModel(TowerConfig(**base, table_padding=2048)), staged, batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -279,11 +279,13 @@ def bench_kernels() -> dict:
         )
 
     # serving-shape gather: fp32 vs int8+per-row-scale dequant (serve/quant),
-    # 8192x26 ids over the 310k-row scaled table
+    # 8192x26 ids over the 310k-row scaled table. Both sides chain through
+    # the IDS (the gather's consumed input) so neither pays extra table
+    # traffic in its feedback and neither can run ahead of the chain.
     big_table = jnp.asarray(
         np.random.default_rng(4).normal(size=(v_rows, 65)).astype(np.float32)
     )
-    from rectpu.serve.quant import quantize_rows
+    from rectpu.serve.quant import dequant_lookup, quantize_rows
 
     q_np, s_np = quantize_rows(np.asarray(big_table))
     qt = {"q": jnp.asarray(q_np), "s": jnp.asarray(s_np)}
@@ -291,20 +293,15 @@ def bench_kernels() -> dict:
         np.random.default_rng(5).integers(0, v_rows, size=(8192, 26)).astype(np.int32)
     )
 
-    def f32_gather(t):
-        return jnp.take(t, g_ids, axis=0)
+    def chain_ids(out, ids):
+        # data-dependent no-op: the next iteration's ids consume this output
+        return ids + (out.sum() * 1e-12).astype(jnp.int32)
 
     results["serve_gather_f32_ms"] = 1e3 * timeit_chained(
-        f32_gather, lambda out, t: t + out.sum() * 1e-12, big_table
+        lambda ids: jnp.take(big_table, ids, axis=0), chain_ids, g_ids
     )
-
-    def int8_gather(s):
-        from rectpu.serve.quant import dequant_lookup
-
-        return dequant_lookup({"q": qt["q"], "s": s}, g_ids)
-
     results["serve_gather_int8_ms"] = 1e3 * timeit_chained(
-        int8_gather, lambda out, s: s + out.sum() * 1e-12, qt["s"]
+        lambda ids: dequant_lookup(qt, ids), chain_ids, g_ids
     )
 
     for k_, v_ in results.items():

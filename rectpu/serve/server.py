@@ -38,6 +38,10 @@ def instances_to_columns(instances: list[dict]) -> dict:
     return columns
 
 
+class UnknownVersion(KeyError):
+    """Requested model version does not exist (maps to HTTP 404)."""
+
+
 class ModelVersions:
     """ML-Engine-style model/version registry over a job dir.
 
@@ -47,43 +51,81 @@ class ModelVersions:
     /root/reference/scripts/mle_deploy.sh:9-16 — here ALL exported versions
     stay addressable, newest = default). Versions load lazily on first
     request; the default loads eagerly at startup.
+
+    The export dir is RE-SCANNED on every listing/lookup: training may still
+    be running in the same job dir, pruning old exports (keep-5) and writing
+    new ones — new versions become servable lazily, pruned ones disappear
+    from the listing (already-loaded ones keep serving from memory). Loading
+    happens under a PER-VERSION lock so a slow lazy load (remote compile can
+    take minutes over a TPU tunnel) never blocks requests to versions that
+    are already loaded.
     """
 
-    def __init__(self, job_dir, model_name: str, loader, wrap=None):
+    def __init__(self, job_dir, model_name: str, loader, wrap=None,
+                 warmup_sizes=(1, 2, 8, 64, 512)):
+        import threading
         from pathlib import Path
 
         self.model_name = model_name
         self._loader = loader  # (export_dir) -> ServingModel
         self._wrap = wrap or (lambda served: served)  # e.g. MicroBatcher
-        base = Path(job_dir) / "export" / "exporter"
-        self._dirs = {
-            p.name: p
-            for p in sorted(base.iterdir())
-            if p.is_dir() and not p.name.startswith(".") and (p / "model.json").exists()
-        } if base.exists() else {}
-        if not self._dirs:
-            raise FileNotFoundError(f"no exports under {base}")
+        self._warmup_sizes = tuple(warmup_sizes)
+        self._base = Path(job_dir) / "export" / "exporter"
+        dirs = self._scan()
+        if not dirs:
+            raise FileNotFoundError(f"no exports under {self._base}")
         # newest timestamp wins; non-numeric names (e.g. a quantized artifact
         # written into the exporter dir) never outrank a timestamped export
         self.default_version = max(
-            self._dirs, key=lambda v: (v.isdigit(), int(v) if v.isdigit() else 0, v)
+            dirs, key=lambda v: (v.isdigit(), int(v) if v.isdigit() else 0, v)
         )
         self._loaded: dict = {}
-        self._lock = __import__("threading").Lock()
+        self._loading: dict = {}  # version -> per-version load lock
+        self._lock = threading.Lock()
+
+    def _scan(self) -> dict:
+        if not self._base.exists():
+            return {}
+        return {
+            p.name: p
+            for p in sorted(self._base.iterdir())
+            if p.is_dir() and not p.name.startswith(".") and (p / "model.json").exists()
+        }
 
     def versions(self) -> list[str]:
-        return sorted(self._dirs)
+        with self._lock:
+            loaded = set(self._loaded)
+        return sorted(set(self._scan()) | loaded)
+
+    def loaded_stats(self, stats_fn) -> dict:
+        with self._lock:
+            loaded = dict(self._loaded)
+        return {v: stats_fn(t) for v, t in loaded.items()}
 
     def get(self, version: str | None = None):
+        import threading
+
         v = version or self.default_version
-        if v not in self._dirs:
-            raise KeyError(f"unknown version {v!r} of model {self.model_name!r}")
         with self._lock:
-            if v not in self._loaded:
-                served = self._loader(self._dirs[v])
-                served.warmup(sizes=(1,))
-                self._loaded[v] = self._wrap(served)
-        return self._loaded[v]
+            hit = self._loaded.get(v)
+            if hit is not None:
+                return hit
+            load_lock = self._loading.setdefault(v, threading.Lock())
+        with load_lock:
+            with self._lock:
+                hit = self._loaded.get(v)
+                if hit is not None:
+                    return hit
+            dirs = self._scan()
+            if v not in dirs:
+                raise UnknownVersion(
+                    f"unknown version {v!r} of model {self.model_name!r}")
+            served = self._loader(dirs[v])
+            served.warmup(sizes=self._warmup_sizes)
+            wrapped = self._wrap(served)
+            with self._lock:
+                self._loaded[v] = wrapped
+        return wrapped
 
     def listing(self) -> dict:
         name = f"models/{self.model_name}"
@@ -133,7 +175,7 @@ def _server_metrics(served, versions: "ModelVersions | None") -> dict:
             "model": versions.model_name,
             "default_version": versions.default_version,
             "versions_available": versions.versions(),
-            "versions_loaded": {v: one(t) for v, t in versions._loaded.items()},
+            "versions_loaded": versions.loaded_stats(one),
         }
     return one(served)
 
@@ -167,7 +209,9 @@ def make_handler(served, versions: "ModelVersions | None" = None):
                 self.wfile.write(payload)
             except Exception as e:  # surface the error to the client
                 payload = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
-                self.send_response(404 if isinstance(e, KeyError) else 400)
+                # only a missing VERSION is a 404; any other KeyError (e.g. a
+                # body without "instances") is a client error like before
+                self.send_response(404 if isinstance(e, UnknownVersion) else 400)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()

@@ -16,6 +16,14 @@ from rectpu.train.optimizers import get_optimizer
 
 
 def train_and_evaluate(args):
+    if args.flat_layout or args.scatter_impl != "xla":
+        # the shared deep-args parser advertises these, but DLRM's
+        # interaction block consumes [B, F, K] — silently ignoring the flags
+        # would misreport what the run actually did
+        raise ValueError(
+            "DLRM does not support --flat-layout/--scatter-impl mxu: the "
+            "pairwise-dot interaction block consumes the [B, F, K] tensor"
+        )
     cfg = TowerConfig(
         feature_set=ml_100k_feature_set(numeric=tuple(args.numeric_columns or ())),
         embedding_size=args.embedding_size,

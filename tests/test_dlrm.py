@@ -112,6 +112,23 @@ def test_trainer_learns_exports_and_serves(synthetic_dir, tmp_path):
     np.testing.assert_allclose(a["probabilities"], b["probabilities"], atol=0.03)
 
 
+def test_trainer_rejects_flat_layout_flags(synthetic_dir, tmp_path):
+    """The shared deep-args parser advertises --flat-layout/--scatter-impl,
+    but DLRM cannot honor them — the trainer must refuse, not silently
+    ignore."""
+    import importlib
+
+    mod = importlib.import_module("rectpu.trainers.dlrm")
+    args = mod.build_parser().parse_args([
+        "--train-csv", str(synthetic_dir["train"]),
+        "--test-csv", str(synthetic_dir["test"]),
+        "--job-dir", str(tmp_path / "x"), "--train-steps", "1",
+        "--flat-layout",
+    ])
+    with pytest.raises(ValueError, match="flat-layout"):
+        mod.train_and_evaluate(args)
+
+
 def test_export_kwargs_roundtrip(tmp_path):
     """bot_hidden_units / arch_interaction_itself survive export -> load."""
     from rectpu.serve.export import export_model, load_model

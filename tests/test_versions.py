@@ -44,7 +44,7 @@ def test_registry_discovery_and_lazy_loading(job_dir):
     from rectpu.serve.export import load_model
     from rectpu.serve.server import ModelVersions
 
-    mv = ModelVersions(job_dir, "ctr", load_model)
+    mv = ModelVersions(job_dir, "ctr", load_model, warmup_sizes=(1,))
     assert len(mv.versions()) == 2
     assert mv.default_version == mv.versions()[-1]
     assert mv._loaded == {}  # nothing loaded yet
@@ -66,7 +66,7 @@ def test_http_version_routing(job_dir):
     from rectpu.serve.export import load_model
     from rectpu.serve.server import ModelVersions, make_handler
 
-    mv = ModelVersions(job_dir, "ctr", load_model)
+    mv = ModelVersions(job_dir, "ctr", load_model, warmup_sizes=(1,))
     v_old, v_new = mv.versions()
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(None, mv))
     port = httpd.server_address[1]
@@ -104,6 +104,65 @@ def test_http_version_routing(job_dir):
         httpd.shutdown()
 
 
+def test_missing_instances_is_400_not_404(job_dir):
+    """Only an unknown VERSION maps to 404; a malformed body (KeyError on
+    'instances') stays a 400 client error."""
+    from http.server import ThreadingHTTPServer
+
+    from rectpu.serve.export import load_model
+    from rectpu.serve.server import ModelVersions, make_handler
+
+    mv = ModelVersions(job_dir, "ctr", load_model, warmup_sizes=(1,))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(None, mv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        try:
+            _req(port, "/predict", {"examples": [INSTANCE]})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "instances" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_registry_rescans_for_new_and_pruned_exports(job_dir, tmp_path):
+    """Exports written or pruned AFTER startup are reflected: new versions
+    become servable, pruned unloaded ones leave the listing."""
+    import shutil
+
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import export_model, load_model
+    from rectpu.serve.server import ModelVersions, UnknownVersion
+
+    job = tmp_path / "rescan"
+    shutil.copytree(job_dir, job)
+    mv = ModelVersions(job, "ctr", load_model, warmup_sizes=(1,))
+    before = mv.versions()
+
+    cfg = TowerConfig(feature_set=ml_100k_feature_set())
+    model = DeepFMModel(cfg)
+    export_model(model.init(jax.random.PRNGKey(9)), model, job, step=999)
+    after = mv.versions()
+    assert len(after) == len(before) + 1
+    new_v = (set(after) - set(before)).pop()
+    assert mv.get(new_v) is not None  # lazily servable without restart
+
+    # prune an unloaded old version: it leaves the listing and 404s
+    old_v = before[0]
+    shutil.rmtree(job / "export" / "exporter" / old_v)
+    assert old_v not in mv.versions()
+    with pytest.raises(UnknownVersion):
+        mv.get(old_v)
+    # the loaded new version keeps serving even if pruned from disk
+    shutil.rmtree(job / "export" / "exporter" / new_v)
+    assert mv.get(new_v) is not None
+
+
 def test_metrics_endpoint(job_dir):
     from http.server import ThreadingHTTPServer
 
@@ -111,7 +170,8 @@ def test_metrics_endpoint(job_dir):
     from rectpu.serve.export import load_model
     from rectpu.serve.server import ModelVersions, make_handler
 
-    mv = ModelVersions(job_dir, "ctr", load_model, wrap=MicroBatcher)
+    mv = ModelVersions(job_dir, "ctr", load_model, wrap=MicroBatcher,
+                       warmup_sizes=(1,))
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(None, mv))
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
