@@ -62,7 +62,7 @@ class ModelVersions:
     """
 
     def __init__(self, job_dir, model_name: str, loader, wrap=None,
-                 warmup_sizes=(1, 2, 8, 64, 512)):
+                 warmup_sizes=(1, 2, 8, 64, 512), follow_latest: bool = False):
         import threading
         from pathlib import Path
 
@@ -70,18 +70,34 @@ class ModelVersions:
         self._loader = loader  # (export_dir) -> ServingModel
         self._wrap = wrap or (lambda served: served)  # e.g. MicroBatcher
         self._warmup_sizes = tuple(warmup_sizes)
+        # follow_latest: the default version tracks the newest export on disk
+        # (continuous deployment: training's LatestExporter keeps writing,
+        # the server hot-picks each new export on its next default request)
+        self._follow_latest = bool(follow_latest)
         self._base = Path(job_dir) / "export" / "exporter"
         dirs = self._scan()
         if not dirs:
             raise FileNotFoundError(f"no exports under {self._base}")
-        # newest timestamp wins; non-numeric names (e.g. a quantized artifact
-        # written into the exporter dir) never outrank a timestamped export
-        self.default_version = max(
-            dirs, key=lambda v: (v.isdigit(), int(v) if v.isdigit() else 0, v)
-        )
+        self._pinned_default = self._newest(dirs)
         self._loaded: dict = {}
         self._loading: dict = {}  # version -> per-version load lock
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _newest(dirs) -> str:
+        # newest timestamp wins; non-numeric names (e.g. a quantized artifact
+        # written into the exporter dir) never outrank a timestamped export
+        return max(
+            dirs, key=lambda v: (v.isdigit(), int(v) if v.isdigit() else 0, v)
+        )
+
+    @property
+    def default_version(self) -> str:
+        if self._follow_latest:
+            dirs = self._scan()
+            if dirs:
+                return self._newest(dirs)
+        return self._pinned_default
 
     def _scan(self) -> dict:
         if not self._base.exists():
@@ -255,7 +271,8 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
           compilation_cache_dir: str | None = "/tmp/jax_cache",
           batch_window_ms: float = 2.0, max_in_flight: int = 4,
           num_dispatchers: int = 1, table_quant: str | None = None,
-          all_versions: bool = False, model_name: str = "default"):
+          all_versions: bool = False, model_name: str = "default",
+          follow_latest: bool = False):
     if compilation_cache_dir:
         # persistent XLA cache: without it every server start recompiles the
         # predict buckets (minutes over a remote-compile TPU tunnel)
@@ -298,7 +315,8 @@ def serve(job_dir: str | None = None, export_dir: str | None = None,
         if export_dir is not None:
             raise ValueError("--all-versions serves a job dir, not --export-dir")
         # every export stays addressable: /v1/models/<name>/versions/<ts>:predict
-        versions = ModelVersions(job_dir, model_name, loader, wrap)
+        versions = ModelVersions(job_dir, model_name, loader, wrap,
+                                 follow_latest=follow_latest)
         served = versions.get()  # loads + warms the default (newest) version
         logger.info(
             "serving model %r versions %s (default %s) from %s",
@@ -353,9 +371,14 @@ if __name__ == "__main__":
                          "<ts>:predict; newest = default), ML-Engine style")
     ap.add_argument("--model-name", default="default",
                     help="model name for the /v1/models/<name> routes")
+    ap.add_argument("--follow-latest", action="store_true",
+                    help="with --all-versions: the default version tracks the "
+                         "newest export on disk, hot-picking each new export "
+                         "a concurrent training job writes")
     a = ap.parse_args()
     serve(a.job_dir, a.export_dir, a.host, a.port, use_serialized=a.serialized,
           compilation_cache_dir=a.compilation_cache_dir,
           batch_window_ms=a.batch_window_ms, max_in_flight=a.max_in_flight,
           num_dispatchers=a.num_dispatchers, table_quant=a.table_quant,
-          all_versions=a.all_versions, model_name=a.model_name)
+          all_versions=a.all_versions, model_name=a.model_name,
+          follow_latest=a.follow_latest)

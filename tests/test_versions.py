@@ -163,6 +163,33 @@ def test_registry_rescans_for_new_and_pruned_exports(job_dir, tmp_path):
     assert mv.get(new_v) is not None
 
 
+def test_follow_latest_hot_picks_new_exports(job_dir, tmp_path):
+    """--follow-latest: the default version tracks the newest export on disk;
+    a pinned registry keeps its startup default."""
+    import shutil
+
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import export_model, load_model
+    from rectpu.serve.server import ModelVersions
+
+    job = tmp_path / "follow"
+    shutil.copytree(job_dir, job)
+    follow = ModelVersions(job, "ctr", load_model, warmup_sizes=(1,),
+                           follow_latest=True)
+    pinned = ModelVersions(job, "ctr", load_model, warmup_sizes=(1,))
+    v0 = follow.default_version
+    assert pinned.default_version == v0
+
+    model = DeepFMModel(TowerConfig(feature_set=ml_100k_feature_set()))
+    export_model(model.init(jax.random.PRNGKey(5)), model, job, step=300)
+    assert follow.default_version != v0  # hot-picked the new export
+    assert pinned.default_version == v0  # pinned stays
+    assert follow.get() is follow.get()  # and it loads + caches
+
+
 def test_metrics_endpoint(job_dir):
     from http.server import ThreadingHTTPServer
 
