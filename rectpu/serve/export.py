@@ -364,8 +364,14 @@ def load_model(export_dir: str | Path, use_serialized: bool = False) -> ServingM
 
 
 def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5,
-                  row_perm=None):
-    """An exporter callback for the Trainer (LatestExporter parity)."""
+                  row_perm=None, mode: str = "latest", compare_metric: str = "auc"):
+    """An exporter callback for the Trainer.
+
+    ``mode="latest"`` exports after every eval (LatestExporter parity,
+    ref trainers/conf_utils.py:20-24). ``mode="best"`` is tf.estimator's
+    BestExporter: export only when the eval metric improves, tracked across
+    restarts via ``<job_dir>/best_metric.json`` — for ``average_loss`` lower
+    is better, for everything else (auc, accuracy, ...) higher is better."""
     if not isinstance(model.cfg.activation, str):
         # fail at construction, not hours later when the first export-cadence
         # callback fires mid-training (export_model re-checks for direct calls)
@@ -373,9 +379,39 @@ def make_exporter(model, job_dir: str | Path, exports_to_keep: int = 5,
             "export requires a string activation (got a callable); register "
             "it by name in models.base.get_activation"
         )
+    if mode not in ("latest", "best"):
+        raise ValueError(f"unknown exporter mode {mode!r}")
 
-    def exporter(params, step):
+    best_path = Path(job_dir) / "best_metric.json"
+    lower_is_better = compare_metric in ("average_loss", "loss")
+
+    def exporter(params, step, metrics=None):
+        if mode == "best":
+            if not metrics or compare_metric not in metrics:
+                logger.warning(
+                    "best exporter: no %r in eval metrics, skipping export",
+                    compare_metric)
+                return
+            value = float(metrics[compare_metric])
+            prev = None
+            if best_path.exists():
+                prev = json.loads(best_path.read_text()).get(compare_metric)
+            improved = (
+                prev is None
+                or (value < prev if lower_is_better else value > prev)
+            )
+            if not improved:
+                logger.info("best exporter: %s=%.6f did not improve on %.6f, "
+                            "skipping export", compare_metric, value, prev)
+                return
+            logger.info("best exporter: %s improved %s -> %.6f, exporting",
+                        compare_metric, "None" if prev is None else f"{prev:.6f}",
+                        value)
         export_model(params, model, job_dir, step, exports_to_keep,
                      row_perm=row_perm)
+        if mode == "best":
+            tmp = best_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps({compare_metric: value, "step": step}))
+            tmp.replace(best_path)
 
     return exporter

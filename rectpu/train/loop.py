@@ -238,6 +238,25 @@ class Trainer:
                 float((arr == 0).mean()), step,
             )
 
+    def _export(self, params, step, metrics):
+        """Invoke the exporter callback; metric-aware exporters (BestExporter
+        parity, serve/export.make_exporter mode='best') receive the latest
+        eval metrics, plain (params, step) callbacks keep working."""
+        import inspect
+
+        try:
+            sig = inspect.signature(self.exporter)
+            takes_metrics = "metrics" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
+        except (TypeError, ValueError):
+            takes_metrics = False
+        if takes_metrics:
+            self.exporter(params, step, metrics=metrics)
+        else:
+            self.exporter(params, step)
+
     def train_and_evaluate(self, restore: bool = True) -> dict:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
@@ -371,7 +390,7 @@ class Trainer:
                     )
                 self._log_histograms(params, step)
                 if self.exporter is not None and pidx == 0:
-                    self.exporter(params, step)
+                    self._export(params, step, last_metrics)
 
         save(step, params, opt_state, data_state)
         if cfg.final_eval:
@@ -380,7 +399,7 @@ class Trainer:
             if self.events:
                 self.events.add_scalars({f"eval/{k}": v for k, v in last_metrics.items()}, step)
         if self.exporter is not None and pidx == 0:
-            self.exporter(params, step)
+            self._export(params, step, last_metrics)
         if self.events:
             self.events.flush()
         self.ckpt.wait()

@@ -109,6 +109,13 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                              "per-row quantized rows, ~3.8x fewer bytes "
                              "(--ep-mode dedup only; backward cotangents ride "
                              "bf16 — dual-level error bounds)")
+    parser.add_argument("--exporter", choices=["latest", "best"], default="latest",
+                        help="'latest' exports after every eval (reference "
+                             "LatestExporter cadence); 'best' only when the "
+                             "eval metric improves (tf BestExporter parity)")
+    parser.add_argument("--best-exporter-metric", default="auc",
+                        help="eval metric the 'best' exporter compares "
+                             "(lower-is-better for average_loss)")
     parser.add_argument("--autotune", action="store_true",
                         help="benchmark kernel impls at the working shapes and pin winners")
     parser.add_argument("--profile-dir", default=None,
@@ -318,7 +325,9 @@ def build_trainer(args, model, optimizer=None):
                 "(the master itself is already bf16)"
             )
         optimizer = bf16_param_store(optimizer)
-    exporter = make_exporter(model, args.job_dir, row_perm=row_perm)
+    exporter = make_exporter(model, args.job_dir, row_perm=row_perm,
+                             mode=getattr(args, "exporter", "latest"),
+                             compare_metric=getattr(args, "best_exporter_metric", "auc"))
     trainer = Trainer(
         model, optimizer, train_ds, eval_ds, args.job_dir, config, plan=plan, exporter=exporter
     )

@@ -266,3 +266,79 @@ def test_export_with_bf16_param_leaf_roundtrips():
         b = hlo.predict(dict(feats))
         np.testing.assert_allclose(a["probabilities"], b["probabilities"],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_best_exporter_only_exports_on_improvement(tmp_path):
+    """tf BestExporter parity: exports happen only when the compared eval
+    metric improves; the best value persists across exporter instances."""
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import make_exporter
+
+    model = DeepFMModel(TowerConfig(feature_set=ml_100k_feature_set()))
+    params = model.init(jax.random.PRNGKey(0))
+    exp = make_exporter(model, tmp_path, mode="best")
+
+    def n_exports():
+        base = tmp_path / "export" / "exporter"
+        return len(list(base.iterdir())) if base.exists() else 0
+
+    exp(params, 100, metrics={"auc": 0.6})
+    assert n_exports() == 1
+    exp(params, 200, metrics={"auc": 0.55})  # worse -> skipped
+    assert n_exports() == 1
+    exp(params, 300, metrics={"auc": 0.65})  # better -> exported
+    assert n_exports() == 2
+    exp(params, 400, metrics=None)  # no metrics -> skipped, no crash
+    assert n_exports() == 2
+
+    # a NEW exporter instance (restart) remembers the best via job-dir state
+    exp2 = make_exporter(model, tmp_path, mode="best")
+    exp2(params, 500, metrics={"auc": 0.64})
+    assert n_exports() == 2
+    exp2(params, 600, metrics={"auc": 0.66})
+    assert n_exports() == 3
+
+    # lower-is-better metric
+    exp3 = make_exporter(model, tmp_path / "loss", mode="best",
+                         compare_metric="average_loss")
+    exp3(params, 1, metrics={"average_loss": 0.5})
+    exp3(params, 2, metrics={"average_loss": 0.6})  # worse
+    exp3(params, 3, metrics={"average_loss": 0.4})  # better
+    base = tmp_path / "loss" / "export" / "exporter"
+    assert len(list(base.iterdir())) == 2
+
+
+def test_trainer_with_best_exporter(synthetic_dir, tmp_path):
+    """--exporter best through the real trainer CLI: training runs, the best
+    marker exists, and the newest export serves."""
+    import importlib
+
+    mod = importlib.import_module("rectpu.trainers.deep_fm")
+    args = mod.build_parser().parse_args([
+        "--train-csv", str(synthetic_dir["train"]),
+        "--test-csv", str(synthetic_dir["test"]),
+        "--job-dir", str(tmp_path / "best"),
+        "--train-steps", "300", "--batch-size", "64",
+        "--steps-per-loop", "50", "--save-checkpoints-steps", "100",
+        "--exporter", "best",
+    ])
+    metrics = mod.train_and_evaluate(args)
+    import json as _json
+
+    marker = tmp_path / "best" / "best_metric.json"
+    assert marker.exists()
+    best = _json.loads(marker.read_text())
+    assert best["auc"] <= max(metrics["auc"], best["auc"])
+
+    from rectpu.serve.export import latest_export, load_model
+
+    served = load_model(latest_export(args.job_dir))
+    out = served.predict({
+        "user_id": np.array([1]), "item_id": np.array([5]), "age": np.array([30]),
+        "gender": np.array(["F"]), "occupation": np.array(["student"]),
+        "zipcode": np.array(["12345"]), "release_year": np.array([1990]),
+    })
+    assert 0 <= float(out["probabilities"][0]) <= 1
