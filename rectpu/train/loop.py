@@ -257,10 +257,92 @@ class Trainer:
         else:
             self.exporter(params, step)
 
+    def _warm_start(self, params):
+        """Initialize params from a previous run's artifact (tf.estimator
+        WarmStartSettings parity): ``warm_start_from`` may be an export dir,
+        a job dir (its newest export wins, else its newest checkpoint), or a
+        ckpt-N directory. Leaves are matched by tree path; shape mismatches
+        raise; template leaves absent from the artifact keep their fresh
+        init (partial warm start, e.g. a new tower on a trained table)."""
+        from rectpu.train.checkpoint import Checkpointer, _flatten, _load_flat_npz
+
+        src = Path(self.warm_start_from)
+        flat_src = None
+        if (src / "model.json").exists():  # an export dir
+            import json as _json
+
+            meta = _json.loads((src / "model.json").read_text())
+            if meta.get("table_quant"):
+                raise ValueError(
+                    f"cannot warm-start from a quantized export ({src}); "
+                    "use the fp export it was derived from")
+            flat_src = _load_flat_npz(src / "arrays.npz")
+        elif (src / "arrays.npz").exists():  # a bare ckpt-N directory
+            flat_src = {
+                k[len("params/"):]: v
+                for k, v in _load_flat_npz(src / "arrays.npz").items()
+                if k.startswith("params/")
+            }
+        else:  # a job dir
+            from rectpu.serve.export import latest_export
+
+            exp = latest_export(src)
+            if exp is not None:
+                flat_src = _load_flat_npz(exp / "arrays.npz")
+            else:
+                snap = Checkpointer(src).restore()
+                if snap is None:
+                    raise FileNotFoundError(
+                        f"warm-start source {src} has neither exports nor checkpoints")
+                flat_src = _flatten(jax.device_get(snap[0]["params"]))
+        return self._replace_leaves(params, flat_src,
+                                    getattr(self, "warm_start_vars", None))
+
+    @staticmethod
+    def _replace_leaves(params, flat_src, var_prefixes=None):
+        from rectpu.train.checkpoint import _flatten
+
+        if var_prefixes:
+            # tf vars_to_warm_start parity: only leaves under the given tree
+            # prefixes load; everything else keeps its fresh init
+            flat_src = {
+                k: v for k, v in flat_src.items()
+                if any(k == p or k.startswith(p.rstrip("/") + "/")
+                       for p in var_prefixes)
+            }
+        flat_tpl = _flatten(params)
+        missing, used = [], 0
+        out = {}
+        for key, tpl in flat_tpl.items():
+            if key in flat_src:
+                got = np.asarray(flat_src[key])
+                if got.shape != tpl.shape:
+                    raise ValueError(
+                        f"warm-start shape mismatch for {key!r}: "
+                        f"{got.shape} vs {tpl.shape}")
+                out[key] = got.astype(tpl.dtype)
+                used += 1
+            else:
+                missing.append(key)
+                out[key] = tpl
+        if used == 0:
+            raise ValueError("warm-start artifact shares no parameters with the model")
+        if missing:
+            logger.warning("warm start: %d leaves kept fresh init (%s)",
+                           len(missing), ", ".join(missing[:5]))
+        logger.info("warm-started %d/%d parameter leaves", used, len(flat_tpl))
+        from rectpu.train.checkpoint import _rebuild, _treedef_template
+
+        return _rebuild(_treedef_template(params), out)
+
     def train_and_evaluate(self, restore: bool = True) -> dict:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
         params = self.model.init(rng)
+        if getattr(self, "warm_start_from", None):
+            # TF semantics: warm start seeds a FRESH run; a restored
+            # checkpoint (below) overwrites it, making restarts idempotent
+            params = self._warm_start(params)
         opt_state = self.optimizer.init(params)
         if getattr(self.optimizer, "prepare", None) is not None:
             # e.g. bf16_param_store: downcast the stored table leaves (the

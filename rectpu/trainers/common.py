@@ -109,6 +109,15 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                              "per-row quantized rows, ~3.8x fewer bytes "
                              "(--ep-mode dedup only; backward cotangents ride "
                              "bf16 — dual-level error bounds)")
+    parser.add_argument("--warm-start-from", default=None,
+                        help="initialize params from a previous run's export "
+                             "dir, job dir, or ckpt-N directory "
+                             "(tf WarmStartSettings parity; a restored "
+                             "checkpoint in --job-dir still wins)")
+    parser.add_argument("--warm-start-vars", nargs="*", default=None,
+                        help="tree-path prefixes to warm start (e.g. 'emb' "
+                             "'linear'); default: every matching leaf "
+                             "(tf vars_to_warm_start parity)")
     parser.add_argument("--exporter", choices=["latest", "best"], default="latest",
                         help="'latest' exports after every eval (reference "
                              "LatestExporter cadence); 'best' only when the "
@@ -332,6 +341,8 @@ def build_trainer(args, model, optimizer=None):
         model, optimizer, train_ds, eval_ds, args.job_dir, config, plan=plan, exporter=exporter
     )
     trainer.profile_dir = getattr(args, "profile_dir", None)
+    trainer.warm_start_from = getattr(args, "warm_start_from", None)
+    trainer.warm_start_vars = getattr(args, "warm_start_vars", None)
     return trainer
 
 
