@@ -125,10 +125,21 @@ class DCNModel:
                 )
         else:
             emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
-            if cfg.num_numeric:
-                num = numeric_field_embeddings(params["num_emb"], batch, cfg)
-                emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
-            x0 = emb.reshape(emb.shape[0], -1)
+            return self.apply_looked(params, emb, batch, train=train, rng=rng)
+        return self._apply_x0(params, x0, train=train, rng=rng)
+
+    def apply_looked(self, params, emb, batch, train: bool = False, rng=None):
+        """Tower math from pre-gathered [B, F, K] rows (the sparse fast-step
+        hook, train/fast_step.py)."""
+        cfg = self.cfg
+        if cfg.num_numeric:
+            num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+            emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
+        return self._apply_x0(params, emb.reshape(emb.shape[0], -1),
+                              train=train, rng=rng)
+
+    def _apply_x0(self, params, x0, train: bool = False, rng=None):
+        cfg = self.cfg
         if cfg.jnp_compute_dtype is not None:
             x0 = x0.astype(cfg.jnp_compute_dtype)
         x = x0

@@ -94,8 +94,13 @@ class DLRMModel:
         return z.reshape(z.shape[0], n * n)[:, flat_idx]
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
+        emb = lookup_fields(params["emb"], batch, self.cfg, lookup_fn)  # [B, F, K]
+        return self.apply_looked(params, emb, batch, train=train, rng=rng)
+
+    def apply_looked(self, params, emb, batch, train: bool = False, rng=None):
+        """Tower math from pre-gathered [B, F, K] rows (the sparse fast-step
+        hook, train/fast_step.py)."""
         cfg = self.cfg
-        emb = lookup_fields(params["emb"], batch, cfg, lookup_fn)  # [B, F, K]
         vectors = emb
         top_parts = []
         if cfg.num_numeric:

@@ -55,6 +55,21 @@ class DNNModel:
             emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
         return emb
 
+    def apply_looked(self, params, looked, batch, train: bool = False, rng=None):
+        """Tower math from pre-gathered [B, F, K] rows (the sparse fast-step
+        hook, train/fast_step.py — table rows enter only through ``looked``)."""
+        cfg = self.cfg
+        emb = looked
+        if cfg.num_numeric:
+            num = numeric_field_embeddings(params["num_emb"], batch, cfg)
+            emb = jnp.concatenate([emb, num.astype(emb.dtype)], axis=1)
+        logit = apply_mlp(
+            params["mlp"], emb.reshape(emb.shape[0], -1), cfg.activation,
+            cfg.dropout, train, rng, compute_dtype=cfg.jnp_compute_dtype,
+            dropout_impl=cfg.dropout_impl,
+        )
+        return logit[:, 0]
+
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
         cfg = self.cfg
         if (

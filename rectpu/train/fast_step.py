@@ -1,4 +1,4 @@
-"""High-throughput DeepFM training step with sparse table updates.
+"""High-throughput training step with sparse table updates.
 
 The generic Trainer step differentiates through the embedding gather, so the
 table gradient materializes as a full dense [V, K] (zeros + scatter-add) and
@@ -24,8 +24,9 @@ This step restructures the computation:
 Semantics: identical to dense Adam on step 1 from zero state; thereafter it
 is lazy Adam — untouched rows keep stale m/v and receive no step, matching
 ``tf.train.AdamOptimizer._apply_sparse`` (what the reference's estimators run
-for embedding variables). The model math is ``DeepFMModel.apply_looked`` — the
-same code path the generic step uses.
+for embedding variables). The model math is each model's ``apply_looked``
+hook — the same tower code the generic step runs, fed pre-gathered rows
+(DeepFM/DNN/DLRM/DCN all expose it).
 """
 
 from __future__ import annotations
@@ -38,20 +39,26 @@ from rectpu.train import metrics as metrics_lib
 from rectpu.train.sparse import adam_lr_t, dedupe_rows, sparse_adam_rows
 
 
-def make_sparse_deepfm_step(
+def make_sparse_step(
     model,
     learning_rate: float = 0.001,
     beta1: float = 0.9,
     beta2: float = 0.999,
     epsilon: float = 1e-8,
 ):
-    """Build (init_opt_state, step) for a DeepFM model with Adam.
+    """Build (init_opt_state, step) for any model exposing ``apply_looked``
+    (DeepFM, DNN, DLRM, DCN) with Adam.
 
-    Requires the fused-linear layout (cfg.fuse_linear_lookup and use_linear)
-    or no linear tower at all.
+    Fused-linear models (DeepFM) additionally require cfg.fuse_linear_lookup
+    so the linear weight rides the shared gather; models without a linear
+    tower shard only the [V, K] table.
     """
     cfg = model.cfg
-    if model.use_linear and not cfg.fuse_linear_lookup:
+    if not hasattr(model, "apply_looked"):
+        raise ValueError(
+            f"{model.name}: sparse fast step needs an apply_looked hook")
+    use_linear = bool(getattr(model, "use_linear", False))
+    if use_linear and not cfg.fuse_linear_lookup:
         raise ValueError("sparse fast step requires fuse_linear_lookup=True")
     if getattr(model, "packed", False):
         raise ValueError(
@@ -64,7 +71,7 @@ def make_sparse_deepfm_step(
     def split_params(params):
         sparse = {"emb": params["emb"]}
         rest = {kk: vv for kk, vv in params.items() if kk not in ("emb", "linear")}
-        if model.use_linear:
+        if use_linear:
             sparse["w"] = params["linear"]["w"]
             rest["linear_rest"] = {
                 kk: vv for kk, vv in params["linear"].items() if kk != "w"
@@ -74,7 +81,7 @@ def make_sparse_deepfm_step(
     def join_params(sparse, rest):
         params = {kk: vv for kk, vv in rest.items() if kk != "linear_rest"}
         params["emb"] = sparse["emb"]
-        if model.use_linear:
+        if use_linear:
             params["linear"] = dict(rest["linear_rest"])
             params["linear"]["w"] = sparse["w"]
         return params
@@ -90,7 +97,7 @@ def make_sparse_deepfm_step(
         ids = batch["cat_ids"]
         dtype = cfg.jnp_compute_dtype
 
-        if model.use_linear:
+        if use_linear:
             table = jnp.concatenate([sparse["emb"], sparse["w"][:, None]], axis=1)
         else:
             table = sparse["emb"]
@@ -138,7 +145,7 @@ def make_sparse_deepfm_step(
         )
         new_sparse = {"emb": emb_new}
         m_sp_new, v_sp_new = {"emb": m_emb}, {"emb": v_emb}
-        if model.use_linear:
+        if use_linear:
             w_new, m_w, v_w = sparse_adam_rows(
                 sparse["w"], m_sp["w"], v_sp["w"], rows, row_grads[:, k],
                 lr_t, beta1, beta2, epsilon,
@@ -155,3 +162,7 @@ def make_sparse_deepfm_step(
         return params, opt_state, loss
 
     return init_opt_state, step
+
+
+# historical name (the step was DeepFM-only before the zoo grew apply_looked)
+make_sparse_deepfm_step = make_sparse_step

@@ -130,3 +130,63 @@ def test_fast_step_multi_step_lazy_oracle(setup):
         p_cur, opt_state, _ = jstep(p_cur, opt_state, batch, rng, jnp.asarray(t - 1))
 
     np.testing.assert_allclose(np.asarray(p_cur["emb"]), emb, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("family", ["deep", "dlrm", "dcn"])
+def test_sparse_step_generalizes_to_zoo(family, synthetic_dir):
+    """make_sparse_step's first step from zero state matches the dense Adam
+    step for every apply_looked model (table rows update sparsely)."""
+    import jax
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import MODEL_REGISTRY, TowerConfig
+    from rectpu.train.fast_step import make_sparse_step
+    from rectpu.train.metrics import sigmoid_xent
+    from rectpu.train.optimizers import adam
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(8,))
+    model = MODEL_REGISTRY[family](cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng_np = np.random.default_rng(3)
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [fs.offsets[f] + rng_np.integers(0, fs.field_sizes[f], size=32)
+             for f in range(fs.num_fields)], axis=1).astype(np.int32)),
+        "num_vals": jnp.zeros((32, 0), jnp.float32),
+        "labels": jnp.asarray((rng_np.random(32) < 0.3).astype(np.float32)),
+    }
+    rng = jax.random.PRNGKey(7)
+
+    # dense reference step
+    opt = adam(learning_rate=0.001)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, batch, train=False, rng=rng)
+        return sigmoid_xent(logits, batch["labels"]).mean()
+
+    loss_d, grads = jax.value_and_grad(loss_fn)(params)
+    p_dense, _ = opt.update(grads, opt_state, params)
+
+    # sparse fast step (train=True but these models only use rng for dropout,
+    # which is 0 here)
+    init_opt, step = make_sparse_step(model, learning_rate=0.001)
+    p_sparse, _, loss_s = jax.jit(step)(params, init_opt(params), batch, rng, 0)
+
+    assert np.isclose(float(loss_d), float(loss_s), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=1e-6),
+        jax.device_get(p_dense), jax.device_get(p_sparse),
+    )
+
+
+def test_sparse_step_requires_apply_looked():
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import LinearModel, TowerConfig
+    from rectpu.train.fast_step import make_sparse_step
+
+    with pytest.raises(ValueError, match="apply_looked"):
+        make_sparse_step(LinearModel(TowerConfig(feature_set=ml_100k_feature_set())))
