@@ -189,8 +189,35 @@ def hash_bucket(values, num_buckets: int) -> np.ndarray:
     Semantics of TF's ``categorical_column_with_hash_bucket``
     (/root/reference/trainers/ml_100k.py:19-30): non-string inputs are
     stringified (decimal), then ``fingerprint64(s) % num_buckets``.
+
+    Dispatches to the vectorized C++ FarmHash (rectpu/io/native/farmhash.cc,
+    bit-identical — tests/test_hashing.py) when the native lib is built; the
+    per-element Python loop below is the fallback. This is the serving
+    request-encode hot path and the pandas-loader encode path.
     """
     values = np.asarray(values)
+    try:
+        from rectpu.io import native
+
+        if native.available():
+            flat = values.reshape(-1)
+            if values.dtype.kind in "iu":
+                out = native.hash_ints(flat.astype(np.int64), num_buckets)
+            else:
+                out = None
+                try:
+                    # vectorized: one NUL-padded S-dtype buffer, one C call
+                    # (raises for non-ASCII or non-string objects -> fall
+                    # through to the per-element path)
+                    as_bytes = np.asarray(flat, dtype=np.bytes_)
+                    out = native.hash_strings_array(as_bytes, num_buckets)
+                except Exception:
+                    pass
+                if out is None:
+                    out = native.hash_strings([str(v) for v in flat], num_buckets)
+            return out.reshape(values.shape)
+    except Exception:  # pragma: no cover - fall back to the Python path
+        pass
     if values.dtype.kind in "iu":
         out = np.empty(values.shape, dtype=np.int32)
         flat = values.reshape(-1)

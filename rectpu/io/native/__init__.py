@@ -46,6 +46,17 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        if hasattr(lib, "rectpu_hash_strings_fixed"):
+            # present from the first rebuild after this binding was added;
+            # older .so files simply skip the fast fixed-stride path
+            lib.rectpu_hash_strings_fixed.restype = None
+            lib.rectpu_hash_strings_fixed.argtypes = [
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,
+                ctypes.c_size_t,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -86,6 +97,27 @@ def hash_strings(values, num_buckets: int) -> np.ndarray:
         arr, len(encoded), num_buckets, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     )
     return out
+
+
+def hash_strings_array(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Hash a numpy S-dtype (bytes) array without per-element marshalling:
+    one fixed-stride C call over the contiguous NUL-padded buffer. Elements
+    with embedded NULs are unrepresentable in S-dtype — callers convert via
+    np.asarray(..., np.bytes_), which preserves all bytes up to the pad."""
+    lib = _load()
+    if not hasattr(lib, "rectpu_hash_strings_fixed"):
+        raise RuntimeError("native lib predates rectpu_hash_strings_fixed; rebuild")
+    values = np.ascontiguousarray(values)
+    assert values.dtype.kind == "S", values.dtype
+    out = np.empty(values.size, dtype=np.int32)
+    lib.rectpu_hash_strings_fixed(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        values.dtype.itemsize,
+        values.size,
+        num_buckets,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out.reshape(values.shape)
 
 
 def load_and_encode(csv_path: str, feature_set, label_col: str, cutoff: int) -> dict:

@@ -171,6 +171,21 @@ extern "C" void rectpu_hash_strings(const char** vals, size_t n, int64_t buckets
   }
 }
 
+// Fixed-stride variant for numpy S-dtype arrays: element i lives at
+// buf + i*itemsize, NUL-padded to itemsize (strings with EMBEDDED NULs are
+// not representable — callers fall back to rectpu_hash_strings for those).
+extern "C" void rectpu_hash_strings_fixed(const char* buf, int64_t itemsize,
+                                          size_t n, int64_t buckets,
+                                          int32_t* out) {
+  for (size_t i = 0; i < n; ++i) {
+    const char* p = buf + i * itemsize;
+    size_t len = 0;
+    while (len < static_cast<size_t>(itemsize) && p[len] != '\0') ++len;
+    out[i] = static_cast<int32_t>(rectpu_fingerprint64(p, len) %
+                                  static_cast<uint64_t>(buckets));
+  }
+}
+
 extern "C" void rectpu_hash_ints(const int64_t* vals, size_t n, int64_t buckets,
                                  int32_t* out) {
   char buf[24];

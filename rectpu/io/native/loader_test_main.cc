@@ -15,6 +15,8 @@
 extern "C" {
 uint64_t rectpu_fingerprint64(const char* s, size_t len);
 void rectpu_hash_ints(const int64_t* vals, size_t n, int64_t buckets, int32_t* out);
+void rectpu_hash_strings_fixed(const char* buf, int64_t itemsize, size_t n,
+                               int64_t buckets, int32_t* out);
 void* rectpu_csv_open(const char* path, int num_threads);
 int64_t rectpu_csv_rows(void* h);
 const char* rectpu_csv_error(void* h);
@@ -46,6 +48,17 @@ int main() {
   int32_t hout[3];
   rectpu_hash_ints(vals, 3, 997, hout);
   for (int i = 0; i < 3; ++i) assert(hout[i] >= 0 && hout[i] < 997);
+
+  // fixed-stride variant: NUL-padded rows, incl. a full-width one (no pad —
+  // the length scan must stop at itemsize, the ASan-sensitive edge)
+  char fixed[3 * 4] = {'a', 'b', '\0', '\0',
+                       '\0', '\0', '\0', '\0',
+                       'w', 'x', 'y', 'z'};
+  int32_t fout[3];
+  rectpu_hash_strings_fixed(fixed, 4, 3, 997, fout);
+  assert(fout[0] == static_cast<int32_t>(rectpu_fingerprint64("ab", 2) % 997));
+  assert(fout[1] == static_cast<int32_t>(rectpu_fingerprint64("", 0) % 997));
+  assert(fout[2] == static_cast<int32_t>(rectpu_fingerprint64("wxyz", 4) % 997));
 
   const char* spec =
       "hash:user_id:1000:int\n"

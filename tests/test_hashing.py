@@ -99,3 +99,25 @@ def test_native_parity_if_built():
     np.testing.assert_array_equal(
         native.hash_strings(words, 53), hash_bucket(np.array(words), 53)
     )
+
+
+def test_hash_strings_array_fixed_stride_matches():
+    """The vectorized S-dtype C path == per-element paths (incl. the pad
+    handling for mixed-length strings)."""
+    import numpy as np
+    import pytest
+
+    from rectpu.io import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    vals = np.asarray(["", "a", "F", "technician/engineer", "85711",
+                       "x" * 70, "zip00042"])
+    fixed = native.hash_strings_array(np.asarray(vals, np.bytes_), 1000)
+    listy = native.hash_strings(list(vals), 1000)
+    np.testing.assert_array_equal(fixed, listy)
+
+    from rectpu.features.hashing import fingerprint64
+
+    want = np.asarray([fingerprint64(v) % 1000 for v in vals], np.int32)
+    np.testing.assert_array_equal(fixed, want)
