@@ -91,20 +91,36 @@ class VocabFeature:
 
     def encode(self, values: np.ndarray) -> np.ndarray:
         values = np.asarray(values)
-        lookup = {v: i for i, v in enumerate(self.vocab)}
-        out = np.empty(values.shape, dtype=np.int32)
         flat = values.reshape(-1)
-        oflat = out.reshape(-1)
         base = len(self.vocab)
-        for i in range(flat.shape[0]):
+        # vectorized in-vocab lookup (sorted searchsorted); only the rare
+        # OOV values pay a per-element hash
+        vocab_arr = np.asarray(self.vocab)
+        try:
+            cmp = flat.astype(vocab_arr.dtype) if flat.dtype != vocab_arr.dtype else flat
+        except (ValueError, TypeError):
+            cmp = None
+        if cmp is not None:
+            sorter = np.argsort(vocab_arr, kind="stable")
+            svocab = vocab_arr[sorter]
+            pos = np.clip(np.searchsorted(svocab, cmp), 0, base - 1)
+            hit = svocab[pos] == cmp
+            out = np.where(hit, sorter[pos], -1).astype(np.int32)
+            miss = np.flatnonzero(~hit)
+        else:  # incomparable dtypes: everything takes the per-element path
+            out = np.full(flat.shape, -1, dtype=np.int32)
+            lookup = {v: i for i, v in enumerate(self.vocab)}
+            for i in range(flat.shape[0]):
+                idx = lookup.get(flat[i])
+                if idx is not None:
+                    out[i] = idx
+            miss = np.flatnonzero(out < 0)
+        for i in miss:
             v = flat[i]
-            idx = lookup.get(v)
-            if idx is None:
-                if self.num_oov_buckets <= 0:
-                    raise ValueError(f"out-of-vocabulary value {v!r} for column {self.name}")
-                idx = base + fingerprint64(str(v)) % self.num_oov_buckets
-            oflat[i] = idx
-        return out
+            if self.num_oov_buckets <= 0:
+                raise ValueError(f"out-of-vocabulary value {v!r} for column {self.name}")
+            out[i] = base + fingerprint64(str(v)) % self.num_oov_buckets
+        return out.reshape(values.shape)
 
 
 @dataclass(frozen=True)
