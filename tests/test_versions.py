@@ -190,6 +190,48 @@ def test_follow_latest_hot_picks_new_exports(job_dir, tmp_path):
     assert follow.get() is follow.get()  # and it loads + caches
 
 
+def test_concurrent_loads_and_predicts(job_dir):
+    """Hammer two versions + /metrics from many threads while both lazily
+    load: every request succeeds, each version loads exactly once (the
+    per-version lock), and no dict-iteration race crashes /metrics."""
+    from concurrent.futures import ThreadPoolExecutor
+    from http.server import ThreadingHTTPServer
+
+    from rectpu.serve.export import load_model
+    from rectpu.serve.server import ModelVersions, make_handler
+
+    loads = []
+
+    def counting_loader(d):
+        loads.append(str(d))
+        return load_model(d)
+
+    mv = ModelVersions(job_dir, "ctr", counting_loader, warmup_sizes=(1,))
+    v_old, v_new = sorted(set(mv._scan()))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(None, mv))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        body = {"instances": [INSTANCE]}
+        paths = (
+            [f"/v1/models/ctr/versions/{v_old}:predict"] * 8
+            + [f"/v1/models/ctr/versions/{v_new}:predict"] * 8
+            + ["/metrics"] * 8
+        )
+
+        def hit(p):
+            return _req(port, p, body if p != "/metrics" else None)
+
+        with ThreadPoolExecutor(max_workers=12) as ex:
+            results = list(ex.map(hit, paths))
+        assert len(results) == 24
+        assert len(loads) == 2  # each version loaded exactly once
+        for r in results:
+            assert ("predictions" in r) or ("versions_loaded" in r)
+    finally:
+        httpd.shutdown()
+
+
 def test_metrics_endpoint(job_dir):
     from http.server import ThreadingHTTPServer
 
