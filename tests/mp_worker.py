@@ -26,6 +26,7 @@ def main():
     ep_mode = sys.argv[8] if len(sys.argv) > 8 else "2d"
     comm_compress = sys.argv[9] if len(sys.argv) > 9 else "none"
     comm_compress = None if comm_compress == "none" else comm_compress
+    family = sys.argv[10] if len(sys.argv) > 10 else "deep_fm"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -41,14 +42,14 @@ def main():
 
     from rectpu.features.schema import ml_100k_feature_set
     from rectpu.io.loader import CsvDataset
-    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.models import MODEL_REGISTRY, TowerConfig
     from rectpu.parallel import ParallelPlan
     from rectpu.train.loop import TrainConfig, Trainer
 
     fs = ml_100k_feature_set()
     cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
                       packed_linear=flat, flat_layout=flat)
-    model = DeepFMModel(cfg)
+    model = MODEL_REGISTRY[family](cfg)
     train_ds = CsvDataset(os.path.join(data_dir, "train.csv"), fs)
     eval_ds = CsvDataset(os.path.join(data_dir, "test.csv"), fs)
 
@@ -65,7 +66,7 @@ def main():
         model, model.default_optimizer(), train_ds, eval_ds,
         os.path.join(
             data_dir,
-            f"job_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}",
+            f"job_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}_{family}",
         ),
         tc, plan=plan,
     )

@@ -23,15 +23,15 @@ def _free_port():
 
 
 def _run(nproc, data_dir, tmp_path, model_shards=1, flat=False,
-         ep_mode="2d", comm_compress="none"):
+         ep_mode="2d", comm_compress="none", family="deep_fm"):
     out = (tmp_path /
-           f"out_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}.json")
+           f"out_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}_{family}.json")
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), str(nproc), coordinator,
              str(data_dir), str(out), str(model_shards), str(int(flat)),
-             ep_mode, comm_compress],
+             ep_mode, comm_compress, family],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=str(WORKER.parent.parent),
         )
@@ -139,3 +139,22 @@ def test_two_process_dedup_ep_int8(tmp_path):
         assert np.isclose(single["metrics"][key], multi["metrics"][key],
                           rtol=0.05), (key, single, multi)
     assert np.isclose(single["param_digest"], multi["param_digest"], rtol=0.05)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_ep_dlrm(tmp_path):
+    """A beyond-reference family (DLRM) with the table row-sharded ACROSS OS
+    processes: the shape-keyed sharding rules generalize cross-process."""
+    from rectpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    write_synthetic_dataset(data_dir, train_rows=2000, test_rows=512, seed=11)
+
+    single = _run(1, data_dir, tmp_path, family="dlrm")
+    multi = _run(2, data_dir, tmp_path, model_shards=2, family="dlrm")
+
+    assert multi["metrics"]["count"] == 512
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(single["metrics"][key], multi["metrics"][key],
+                          rtol=1e-4, atol=1e-5), (key, single, multi)
+    assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
