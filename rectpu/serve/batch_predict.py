@@ -34,13 +34,19 @@ logger = get_logger(__name__)
 
 
 def batch_predict(served, input_csv, output_path, batch_size: int = 8192,
-                  include_inputs: tuple = ()) -> int:
-    """Score every row of ``input_csv``; returns the row count written."""
+                  include_inputs: tuple = (), label_col: str | None = None,
+                  cutoff: float = 5.0):
+    """Score every row of ``input_csv``; returns ``(rows_written, metrics)``.
+
+    ``label_col`` additionally evaluates against the labels (binarized as
+    ``value >= cutoff``, the training rule): exact rank AUC, accuracy, and
+    mean log-loss — the offline counterpart of the trainer's eval pass."""
     import pandas as pd
 
     from rectpu.features.schema import GENRE
 
     n_total = 0
+    all_probs, all_labels = [], []
     with open(output_path, "w") as out:
         for chunk in pd.read_csv(input_csv, chunksize=batch_size):
             cols = {}
@@ -66,9 +72,42 @@ def batch_predict(served, input_csv, output_path, batch_size: int = 8192,
                     v = chunk[c].iloc[i]
                     rec[c] = v.item() if isinstance(v, np.generic) else v
                 out.write(json.dumps(rec) + "\n")
+            if label_col is not None:
+                if label_col not in chunk.columns:
+                    raise ValueError(f"input csv missing label column {label_col!r}")
+                all_probs.append(np.asarray(preds["probabilities"], np.float64))
+                all_labels.append(
+                    (chunk[label_col].to_numpy(np.float64) >= cutoff).astype(np.float64))
             n_total += n
             logger.info("scored %d rows (total %d)", n, n_total)
-    return n_total
+    metrics = None
+    if label_col is not None and n_total:
+        p = np.concatenate(all_probs)
+        y = np.concatenate(all_labels)
+        metrics = {
+            "auc": _exact_auc(p, y),
+            "accuracy": float(((p > 0.5) == (y > 0.5)).mean()),
+            "average_loss": float(-np.mean(
+                y * np.log(np.clip(p, 1e-12, 1.0))
+                + (1 - y) * np.log(np.clip(1 - p, 1e-12, 1.0)))),
+            "count": float(n_total),
+        }
+        logger.info("offline eval: %s", metrics)
+    return n_total, metrics
+
+
+def _exact_auc(scores, labels) -> float:
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    for s in np.unique(scores):
+        m = scores == s
+        ranks[m] = ranks[m].mean()
+    pos = labels > 0.5
+    n_pos, n_neg = pos.sum(), (~pos).sum()
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
 def main(argv=None):
@@ -88,6 +127,15 @@ def main(argv=None):
     ap.add_argument("--include-inputs", nargs="*", default=[],
                     help="input columns to copy into each output record "
                          "(e.g. user_id item_id for joining)")
+    ap.add_argument("--label-col", default=None,
+                    help="also evaluate offline against this label column "
+                         "(binarized as value >= --cutoff): exact AUC, "
+                         "accuracy, log-loss")
+    ap.add_argument("--cutoff", type=float, default=5.0,
+                    help="label binarization threshold (default: %(default)s, "
+                         "the training rule rating >= 5)")
+    ap.add_argument("--metrics-output", default=None,
+                    help="write the offline eval metrics to this JSON path")
     ap.add_argument("--compilation-cache-dir", default="/tmp/jax_cache")
     a = ap.parse_args(argv)
 
@@ -111,9 +159,13 @@ def main(argv=None):
 
         served = quantize_serving(served)
     logger.info("scoring %s with %s", a.input_csv, export_dir)
-    n = batch_predict(served, a.input_csv, a.output, a.batch_size,
-                      include_inputs=tuple(a.include_inputs))
+    n, metrics = batch_predict(served, a.input_csv, a.output, a.batch_size,
+                               include_inputs=tuple(a.include_inputs),
+                               label_col=a.label_col, cutoff=a.cutoff)
     logger.info("wrote %d predictions to %s", n, a.output)
+    if metrics is not None and a.metrics_output:
+        with open(a.metrics_output, "w") as f:
+            json.dump(metrics, f)
 
 
 if __name__ == "__main__":

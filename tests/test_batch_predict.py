@@ -28,8 +28,8 @@ def test_batch_predict_scores_etl_csv(export_dir, synthetic_dir, tmp_path):
 
     served = load_model(export_dir)
     out = tmp_path / "preds.jsonl"
-    n = batch_predict(served, synthetic_dir["test"], out, batch_size=512,
-                      include_inputs=("user_id", "item_id"))
+    n, _ = batch_predict(served, synthetic_dir["test"], out, batch_size=512,
+                         include_inputs=("user_id", "item_id"))
     lines = [json.loads(line) for line in out.read_text().splitlines()]
     assert n == len(lines) == 1200
     p = np.asarray([r["probabilities"] for r in lines])
@@ -80,3 +80,27 @@ def test_batch_predict_missing_column_errors(export_dir, tmp_path):
     pd.DataFrame({"user_id": [1], "item_id": [2]}).to_csv(bad, index=False)
     with pytest.raises(ValueError, match="missing required column"):
         batch_predict(load_model(export_dir), bad, tmp_path / "o.jsonl")
+
+
+def test_batch_predict_offline_eval(export_dir, synthetic_dir, tmp_path):
+    """--label-col computes exact AUC/accuracy/log-loss in the same pass,
+    matching the trainer's eval on the same export."""
+    import json as _json
+
+    from rectpu.serve.batch_predict import main
+
+    mpath = tmp_path / "metrics.json"
+    main([
+        "--export-dir", str(export_dir),
+        "--input-csv", str(synthetic_dir["test"]),
+        "--output", str(tmp_path / "p.jsonl"),
+        "--label-col", "rating",
+        "--metrics-output", str(mpath),
+        "--compilation-cache-dir", "",
+    ])
+    m = _json.loads(mpath.read_text())
+    assert m["count"] == 1200
+    assert 0.0 <= m["auc"] <= 1.0
+    assert m["average_loss"] > 0
+    # the export is untrained (random init): AUC near chance
+    assert abs(m["auc"] - 0.5) < 0.1
