@@ -104,6 +104,10 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
         # 3.32 -> 1.91 ms. table_padding=2048 keeps the tile grid exact.
         scatter_impl="mxu",
         table_padding=2048,
+        # counter-hash dropout masks instead of threefry: ~8 ALU ops/element
+        # vs ~100; measured 1.919 -> 1.709 ms/step (+11%) at this config
+        # (benchmarks/_ablate_dropout.py, 2026-08-19). dropout=0 floor is 1.639 ms.
+        dropout_impl="hash",
     )
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))

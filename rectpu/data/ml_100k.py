@@ -1,13 +1,11 @@
-"""MovieLens-100K ETL: download -> process -> train/test/all/users/items CSVs.
+"""MovieLens-100K ETL: raw GroupLens files -> enriched train/test/all/users/items CSVs.
 
-Capability parity with /root/reference/src/data/ml_100k.py (dask version) with
-the same output schema, implemented on plain pandas:
-  - users: zipcode1/2/3 prefixes (ref :61-64)
-  - items: drop title=="unknown"; release_date + release_year (ref :69-72)
-  - contexts (all/train/test): timestamp -> datetime, year, month, day,
-    ISO week, dayofweek+1 (ref :76-85)
-  - inner-join each context x users x items (ref :88-93)
-Outputs {train,test,all,users,items}.csv under <dest>/ml-100k/ (ref :152-157).
+Output-schema parity with the reference ETL (/root/reference/src/data/ml_100k.py:
+zipcode prefixes :61-64, unknown-title drop + release_year :69-72, timestamp
+calendar fields :76-85, inner joins :88-93, CSV layout :152-157), organized
+rectpu's way: one pure enrichment function per table, composed by
+``process_data``; plain pandas (no dask — 100k rows fit in memory thousands
+of times over).
 
 The GCP/BigQuery variant lives in rectpu.data.bigquery. Download is gated:
 in zero-egress environments use ``--synthetic`` to emit schema-identical
@@ -16,8 +14,8 @@ synthetic data (rectpu.data.synthetic) instead.
 
 from __future__ import annotations
 
-import sys
 from argparse import ArgumentParser
+from dataclasses import dataclass
 from pathlib import Path
 from zipfile import ZipFile
 
@@ -25,111 +23,140 @@ from rectpu.utils.logging import get_logger
 
 logger = get_logger(__name__)
 
-DATA_CONFIG = {
-    "users": {
-        "filename": "u.user",
-        "sep": "|",
-        "columns": ["user_id", "age", "gender", "occupation", "zipcode"],
-    },
-    "items": {
-        "filename": "u.item",
-        "sep": "|",
-        "columns": [
-            "item_id", "title", "release", "video_release", "imdb", "unknown", "action",
-            "adventure", "animation", "children", "comedy", "crime", "documentary", "drama",
-            "fantasy", "filmnoir", "horror", "musical", "mystery", "romance", "scifi",
-            "thriller", "war", "western",
-        ],
-    },
-    "all": {"filename": "u.data", "sep": "\t", "columns": ["user_id", "item_id", "rating", "timestamp"]},
-    "train": {"filename": "ua.base", "sep": "\t", "columns": ["user_id", "item_id", "rating", "timestamp"]},
-    "test": {"filename": "ua.test", "sep": "\t", "columns": ["user_id", "item_id", "rating", "timestamp"]},
+DEFAULT_URL = "http://files.grouplens.org/datasets/movielens/ml-100k.zip"
+
+# Interaction tables share one layout; "all" is the full log, train/test are
+# MovieLens' predefined ua.base/ua.test split (10 held-out ratings per user).
+RATING_COLUMNS = ("user_id", "item_id", "rating", "timestamp")
+RATING_TABLES = ("all", "train", "test")
+
+GENRE_FLAGS = (
+    "unknown", "action", "adventure", "animation", "children", "comedy", "crime",
+    "documentary", "drama", "fantasy", "filmnoir", "horror", "musical", "mystery",
+    "romance", "scifi", "thriller", "war", "western",
+)
+
+
+@dataclass(frozen=True)
+class RawTable:
+    """One raw GroupLens file: where it lives and how to parse it."""
+
+    filename: str
+    sep: str
+    columns: tuple
+
+
+RAW_TABLES = {
+    "users": RawTable("u.user", "|", ("user_id", "age", "gender", "occupation", "zipcode")),
+    "items": RawTable("u.item", "|", ("item_id", "title", "release", "video_release", "imdb") + GENRE_FLAGS),
+    "all": RawTable("u.data", "\t", RATING_COLUMNS),
+    "train": RawTable("ua.base", "\t", RATING_COLUMNS),
+    "test": RawTable("ua.test", "\t", RATING_COLUMNS),
 }
 
-DEFAULT_URL = "http://files.grouplens.org/datasets/movielens/ml-100k.zip"
+# Back-compat mapping shape (name -> {filename, sep, columns}).
+DATA_CONFIG = {
+    name: {"filename": t.filename, "sep": t.sep, "columns": list(t.columns)}
+    for name, t in RAW_TABLES.items()
+}
 
 
 def download_data(url: str = DEFAULT_URL, dest_dir: str = "data") -> None:
-    """Download and extract the ml-100k zip (idempotent)."""
+    """Fetch and unpack the ml-100k archive; no-op for pieces already present."""
     import requests
 
-    dest = Path(dest_dir) / Path(url).name
-    dest.parent.mkdir(parents=True, exist_ok=True)
+    archive = Path(dest_dir) / Path(url).name
+    archive.parent.mkdir(parents=True, exist_ok=True)
 
-    if not dest.exists():
-        logger.info("downloading file: %s.", url)
-        r = requests.get(url, stream=True, timeout=60)
-        r.raise_for_status()
-        with dest.open("wb") as f:
-            for chunk in r.iter_content(chunk_size=1 << 20):
-                f.write(chunk)
-        logger.info("file downloaded: %s.", dest)
+    if not archive.exists():
+        logger.info("etl: fetching %s", url)
+        response = requests.get(url, stream=True, timeout=60)
+        response.raise_for_status()
+        with archive.open("wb") as out:
+            for chunk in response.iter_content(chunk_size=1 << 20):
+                out.write(chunk)
+        logger.info("etl: archive at %s (%d bytes)", archive, archive.stat().st_size)
 
     if not Path(dest_dir, "ml-100k", "README").exists():
-        with dest.open("rb") as f, ZipFile(f, "r") as zf:
+        with archive.open("rb") as f, ZipFile(f, "r") as zf:
             zf.extractall(dest_dir)
-        logger.info("file extracted.")
+        logger.info("etl: archive unpacked under %s", dest_dir)
 
 
 def load_data(src_dir: str = "data/ml-100k") -> dict:
-    """Load the 5 raw tables into pandas DataFrames."""
+    """Parse the five raw tables into DataFrames keyed by table name."""
     import pandas as pd
 
-    data = {
-        item: pd.read_csv(
-            Path(src_dir, conf["filename"]),
-            sep=conf["sep"],
+    tables = {}
+    for name, spec in RAW_TABLES.items():
+        tables[name] = pd.read_csv(
+            Path(src_dir, spec.filename),
+            sep=spec.sep,
             header=None,
-            names=conf["columns"],
+            names=list(spec.columns),
             encoding="latin-1",
         )
-        for item, conf in DATA_CONFIG.items()
-    }
-    logger.info("data loaded.")
-    return data
+        logger.debug("etl: parsed %s (%d rows) from %s", name, len(tables[name]), spec.filename)
+    logger.info("etl: %d raw tables parsed from %s", len(tables), src_dir)
+    return tables
+
+
+def enrich_users(users):
+    """Add zipcode1/2/3 prefix columns (region granularity ladder)."""
+    out = users.copy()
+    zipcode = out["zipcode"].astype(str)
+    for width in (1, 2, 3):
+        out[f"zipcode{width}"] = zipcode.str[:width]
+    return out
+
+
+def enrich_items(items):
+    """Drop the placeholder 'unknown' title; derive release_date/release_year."""
+    import pandas as pd
+
+    out = items[items["title"] != "unknown"].copy()
+    out["release_date"] = pd.to_datetime(out["release"], format="%d-%b-%Y", errors="coerce")
+    out["release_year"] = out["release_date"].dt.year
+    return out
+
+
+def enrich_interactions(ratings, users, items):
+    """Expand the unix timestamp into calendar fields, then attach user and
+    item attributes by inner join (rows whose user or item was dropped
+    upstream disappear here too)."""
+    import pandas as pd
+
+    out = ratings.copy()
+    when = pd.to_datetime(out["timestamp"], unit="s")
+    out["datetime"] = when
+    out["year"] = when.dt.year
+    out["month"] = when.dt.month
+    out["day"] = when.dt.day
+    out["week"] = when.dt.isocalendar().week.astype("int64")
+    out["dayofweek"] = when.dt.dayofweek + 1
+    return out.merge(users, "inner", "user_id").merge(items, "inner", "item_id")
 
 
 def process_data(data: dict) -> dict:
-    """Feature-enrich and join the raw tables (pandas equivalent of ref :58-96)."""
-    import pandas as pd
-
-    users = data["users"].copy()
-    zc = users["zipcode"].astype(str)
-    users["zipcode1"] = zc.str[0]
-    users["zipcode2"] = zc.str[:2]
-    users["zipcode3"] = zc.str[:3]
-    logger.debug("users data processed.")
-
-    items = data["items"].copy()
-    items = items[items["title"] != "unknown"]
-    items["release_date"] = pd.to_datetime(items["release"], format="%d-%b-%Y", errors="coerce")
-    items["release_year"] = items["release_date"].dt.year
-    logger.debug("items data processed.")
-
-    dfs = {}
-    for el in ["all", "train", "test"]:
-        context = data[el].copy()
-        dt = pd.to_datetime(context["timestamp"], unit="s")
-        context["datetime"] = dt
-        context["year"] = dt.dt.year
-        context["month"] = dt.dt.month
-        context["day"] = dt.dt.day
-        context["week"] = dt.dt.isocalendar().week.astype("int64")
-        context["dayofweek"] = dt.dt.dayofweek + 1
-        dfs[el] = context.merge(users, "inner", "user_id").merge(items, "inner", "item_id")
-    logger.debug("context data processed.")
-
-    dfs["users"] = users
-    dfs["items"] = items
-    logger.info("data merged.")
-    return dfs
+    """Enrich every table; returns {all,train,test,users,items} DataFrames."""
+    users = enrich_users(data["users"])
+    items = enrich_items(data["items"])
+    enriched = {
+        name: enrich_interactions(data[name], users, items) for name in RATING_TABLES
+    }
+    enriched["users"] = users
+    enriched["items"] = items
+    for name, df in enriched.items():
+        logger.debug("etl: %s enriched -> %d rows x %d cols", name, len(df), df.shape[1])
+    logger.info("etl: enrichment + joins complete")
+    return enriched
 
 
 def save_data(dfs: dict, save_dir: str = "data/ml-100k") -> None:
     for name, df in dfs.items():
-        save_path = str(Path(save_dir, name + ".csv"))
-        df.to_csv(save_path, index=False, encoding="utf-8")
-        logger.info("data saved: %s.", save_path)
+        target = Path(save_dir, name + ".csv")
+        df.to_csv(str(target), index=False, encoding="utf-8")
+        logger.info("etl: wrote %s (%d rows)", target, len(df))
 
 
 def local_main(args) -> None:
@@ -141,13 +168,11 @@ def local_main(args) -> None:
             train_rows=args.synthetic_rows,
             test_rows=max(args.synthetic_rows // 10, 100),
         )
-        logger.info("synthetic data written: %s", paths)
+        logger.info("etl: synthetic dataset at %s", paths)
         return
     download_data(args.url, args.dest)
     data_dir = str(Path(args.dest, "ml-100k"))
-    data = load_data(data_dir)
-    dfs = process_data(data)
-    save_data(dfs, data_dir)
+    save_data(process_data(load_data(data_dir)), data_dir)
 
 
 def gcp_main(args) -> None:
@@ -187,14 +212,14 @@ def build_parser() -> ArgumentParser:
     return parser
 
 
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    log = get_logger(__name__, log_path=args.log_path, console=True)
+    log.debug("etl: invoked with %s", vars(args))
+    if not hasattr(args, "main"):
+        build_parser().error("a subcommand is required: local | gcp")
+    args.main(args)
+
+
 if __name__ == "__main__":
-    parser = build_parser()
-    args = parser.parse_args()
-    logger = get_logger(__name__, log_path=args.log_path, console=True)
-    logger.debug("call: %s.", " ".join(sys.argv))
-    logger.debug("ArgumentParser: %s.", args)
-    try:
-        args.main(args)
-    except Exception as e:
-        logger.exception(e)
-        raise
+    main()

@@ -21,12 +21,29 @@ from rectpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def _time(fn, *args, iters=20):
-    out = jax.block_until_ready(jax.jit(fn)(*args))
+def _time(fn, x0, *rest, iters=20):
+    """Dependency-chained timing: iteration i+1's input is a function of
+    iteration i's output, so the device (and the remote-tunnel dispatch
+    pipeline) cannot overlap or elide repeated identical work. Un-chained
+    loops mis-measure here — see CLAUDE.md timing doctrine / RESULTS.md.
+
+    ``x0`` must be a float array; the chain folds a scalar reduction of the
+    output back into it at 1e-12 scale (numerically a no-op)."""
+
+    def step(x):
+        out = fn(x, *rest)
+        bump = sum(
+            jnp.sum(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(out)
+        )
+        return x + (bump * 1e-12).astype(x.dtype)
+
+    f_jit = jax.jit(step)
+    x = jax.block_until_ready(f_jit(x0))
     t0 = time.time()
     for _ in range(iters):
-        out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+        x = f_jit(x)
+    jax.block_until_ready(x)
     return (time.time() - t0) / iters
 
 

@@ -2,9 +2,12 @@
 
 Beyond-reference capability (the reference serves fp32 SavedModels,
 /root/reference/scripts/mle_deploy.sh): symmetric per-row int8 quantization
-of the embedding table in an export — ~4x smaller serving artifacts and 4x
-less gather HBM traffic at predict time, with the per-row scale bounding the
-elementwise error at max|row|/254.
+of the embedding table in an export — ~4x smaller serving artifacts, with
+the per-row scale bounding the elementwise error at max|row|/254. This is a
+capacity/memory feature, NOT a latency win: measured on the v5e, the
+dequantizing int8 gather is slower than the plain f32 gather at the serving
+shape (4.37 vs 2.86 ms — RESULTS.md round-2 queue), because the per-row
+rescale multiply dominates the saved HBM bytes at small K.
 
 Two entry points:
 

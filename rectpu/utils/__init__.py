@@ -1,3 +1,3 @@
-from rectpu.utils.logging import get_logger, float_array_string
+from rectpu.utils.logging import configure, fmt_floats, fmt_metrics, get_logger
 
-__all__ = ["get_logger", "float_array_string"]
+__all__ = ["configure", "fmt_floats", "fmt_metrics", "get_logger"]
