@@ -143,24 +143,34 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
         {kk: jax.device_put(v[i]) for kk, v in sb.items()} for i in range(n_stage)
     ]
 
-    # warmup + compile
+    # warmup + compile (float(loss) fetches real bytes -> true completion;
+    # block_until_ready alone can return early through the tunnel)
     t0 = time.time()
     params, opt_state, loss = fj(params, opt_state, jnp.asarray(0, jnp.int32), staged[0])
-    jax.block_until_ready(loss)
     log(f"tpu: compile+warmup {time.time()-t0:.1f}s; loss[0]={float(loss):.4f}")
 
-    n_steps = max(steps, 40)
-    t0 = time.time()
-    for i in range(n_steps):
-        params, opt_state, loss = fj(
-            params, opt_state, jnp.asarray(i + 1, jnp.int32), staged[i % n_stage]
-        )
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
-    total = n_steps * batch
-    eps = total / dt
-    log(f"tpu: {n_steps} steps x batch {batch} in {dt:.2f}s -> {eps:,.0f} examples/s")
-    return {"examples_per_sec": eps, "steps": n_steps, "batch": batch, "seconds": dt}
+    # two-point slope timing: run n1 then n2 steps (params/opt_state chain
+    # through every step), each synced by fetching the loss; the per-step
+    # time is the slope, which cancels the fetch/dispatch fixed cost.
+    n1 = max(steps // 4, 10)
+    n2 = max(steps, 40)
+    times = []
+    step_no = 1
+    for n in (n1, n2):
+        t0 = time.time()
+        for _ in range(n):
+            params, opt_state, loss = fj(
+                params, opt_state, jnp.asarray(step_no, jnp.int32),
+                staged[step_no % n_stage],
+            )
+            step_no += 1
+        _ = float(loss)
+        times.append(time.time() - t0)
+    dt = (times[1] - times[0]) / (n2 - n1)
+    eps = batch / dt
+    log(f"tpu: slope of {n1}/{n2} steps x batch {batch}: {1e3*dt:.3f} ms/step "
+        f"-> {eps:,.0f} examples/s")
+    return {"examples_per_sec": eps, "steps": n1 + n2, "batch": batch, "seconds": dt * n2}
 
 
 def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:
@@ -227,17 +237,15 @@ def bench_kernels() -> dict:
     b, f, k = 8192, 26, 64
     v = jnp.asarray(np.random.default_rng(0).normal(size=(b, f, k)).astype(np.float32))
 
-    def timeit_chained(make_out, feedback, x0, iters=40):
-        """Dependency-chained timing: each iteration consumes the previous
-        output, so the device cannot overlap/elide repeated identical work
-        (plain pipelined loops mis-measure through the remote tunnel)."""
+    def timeit_chained(make_out, feedback, x0, iters=(40, 120)):
+        """Dependency-chained two-point timing (rectpu.utils.timing): chained
+        so the device cannot overlap/elide repeated work, synced by real data
+        fetches (block_until_ready can return early through the tunnel), and
+        slope-of-two-counts so the fetch's fixed cost cancels."""
+        from rectpu.utils.timing import chained_slope_s
+
         f_jit = jax.jit(lambda x: feedback(make_out(x), x))
-        x = jax.block_until_ready(f_jit(x0))
-        t0 = time.time()
-        for _ in range(iters):
-            x = f_jit(x)
-        jax.block_until_ready(x)
-        return (time.time() - t0) / iters
+        return chained_slope_s(f_jit, x0, iters, repeats=3)
 
     for name, fn in [("fm_xla", fm_cross_xla), ("fm_pallas", fm_cross_pallas)]:
         results[name + "_fwd_ms"] = 1e3 * timeit_chained(
@@ -247,6 +255,24 @@ def bench_kernels() -> dict:
         results[name + "_bwd_ms"] = 1e3 * timeit_chained(
             grad_fn, lambda out, x: x + out * 1e-12, v
         )
+
+    # lane-packed flat FM (the production layout): XLA vs the Pallas kernel,
+    # at the scaled shape in both fp32 and the production bf16
+    from rectpu.ops.fm import fm_cross_flat, fm_cross_flat_pallas
+
+    for dt_name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+        v2 = v.reshape(b, f * k).astype(dt)
+        for name, fn in [
+            ("fm_flat_xla", lambda x: fm_cross_flat(x, f, k)),
+            ("fm_flat_pallas", lambda x: fm_cross_flat_pallas(x, f, k)),
+        ]:
+            results[f"{name}_{dt_name}_fwd_ms"] = 1e3 * timeit_chained(
+                fn, lambda out, x: x + (out[:, None] * 1e-12).astype(x.dtype), v2
+            )
+            grad_fn = jax.grad(lambda x: jnp.sum(fn(x)))
+            results[f"{name}_{dt_name}_bwd_ms"] = 1e3 * timeit_chained(
+                grad_fn, lambda out, x: x + (out * 1e-12).astype(x.dtype), v2
+            )
 
     table = jnp.asarray(np.random.default_rng(1).normal(size=(4224, 64)).astype(np.float32))
     ids = jnp.asarray(np.random.default_rng(2).integers(0, 4106, size=(8192, 26)).astype(np.int32))

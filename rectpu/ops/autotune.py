@@ -8,7 +8,6 @@ the Pallas kernels only get used where they beat XLA on the actual shapes.
 
 from __future__ import annotations
 
-import time
 
 import jax
 import jax.numpy as jnp
@@ -21,14 +20,16 @@ from rectpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def _time(fn, x0, *rest, iters=20):
-    """Dependency-chained timing: iteration i+1's input is a function of
-    iteration i's output, so the device (and the remote-tunnel dispatch
-    pipeline) cannot overlap or elide repeated identical work. Un-chained
-    loops mis-measure here — see CLAUDE.md timing doctrine / RESULTS.md.
+def _time(fn, x0, *rest, iters=(20, 60)):
+    """Dependency-chained two-point timing (rectpu.utils.timing doctrine):
+    iteration i+1's input is a function of iteration i's output so work
+    cannot overlap/elide; synced by real data fetches (block_until_ready
+    can return early through the tunnel); slope of two iteration counts
+    cancels the fixed fetch/dispatch cost.
 
     ``x0`` must be a float array; the chain folds a scalar reduction of the
     output back into it at 1e-12 scale (numerically a no-op)."""
+    from rectpu.utils.timing import chained_slope_s
 
     def step(x):
         out = fn(x, *rest)
@@ -38,13 +39,7 @@ def _time(fn, x0, *rest, iters=20):
         )
         return x + (bump * 1e-12).astype(x.dtype)
 
-    f_jit = jax.jit(step)
-    x = jax.block_until_ready(f_jit(x0))
-    t0 = time.time()
-    for _ in range(iters):
-        x = f_jit(x)
-    jax.block_until_ready(x)
-    return (time.time() - t0) / iters
+    return chained_slope_s(jax.jit(step), x0, iters)
 
 
 def autotune(batch: int, num_fields: int, embedding_size: int, vocab_rows: int,

@@ -131,6 +131,143 @@ def _fm_flat_bwd(f, k, res, g):
 fm_cross_flat.defvjp(_fm_flat_fwd, _fm_flat_bwd)
 
 
+# --- Lane-packed Pallas FM (the RESULTS.md round-1 "[TB, F*K] schedule") ----
+#
+# Forward reads v2 [B, F*K] exactly once from HBM (no [B, F, K] padding:
+# F*K = 26*64 = 1664 = 13 exact lane tiles), does the field reduction as an
+# in-VMEM MXU matmul against the [F*K, K] stacked-identity matrix, and the
+# squares/reductions on the VPU while the next batch tile streams in. S is
+# emitted as a second output so the backward doesn't recompute the matmul:
+# bwd reads v2 + S, re-broadcasts S with the transpose matmul, writes dv2.
+# Traffic: fwd ~= |v2| read; bwd ~= |v2| read + |dv2| write — the bandwidth
+# roofline for this op. Reference math: /root/reference/trainers/deep_fm.py:81-90.
+
+
+def _fm_flat_fwd_kernel(v_ref, a_ref, out_ref, s_ref):
+    v = v_ref[:]
+    s = jnp.dot(v, a_ref[:], preferred_element_type=jnp.float32)  # [TB, K]
+    v32 = v.astype(jnp.float32)
+    square_sum = jnp.sum(v32 * v32, axis=-1)
+    sum_square = jnp.sum(s * s, axis=-1)
+    out_ref[:] = (0.5 * (sum_square - square_sum))[:, None]
+    s_ref[:] = s.astype(s_ref.dtype)
+
+
+def _fm_flat_bwd_kernel(v_ref, s_ref, at_ref, g_ref, dv_ref):
+    s_tiled = jnp.dot(
+        s_ref[:].astype(jnp.float32), at_ref[:], preferred_element_type=jnp.float32
+    )  # [TB, F*K]
+    g = g_ref[:].astype(jnp.float32)  # [TB, 1]
+    dv_ref[:] = (g * (s_tiled - v_ref[:].astype(jnp.float32))).astype(dv_ref.dtype)
+
+
+def _flat_tile_b(fk: int, dtype) -> int:
+    """Batch tile: keep ~2 double-buffered [TB, FK] blocks under ~6 MB."""
+    per_row = fk * jnp.dtype(dtype).itemsize
+    tb = 256
+    while tb * 2 * per_row * 2 <= 6 * 1024 * 1024 and tb < 2048:
+        tb *= 2
+    return tb
+
+
+def _fm_flat_pallas_fwd(v2, f, k, interpret):
+    b, fk = v2.shape
+    tb = _flat_tile_b(fk, v2.dtype)
+    bp = _round_up(max(b, tb), tb)
+    v_p = jnp.pad(v2, ((0, bp - b), (0, 0)))
+    a = _field_sum_matrix(f, k, v2.dtype)
+    out, s = pl.pallas_call(
+        _fm_flat_fwd_kernel,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, fk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fk, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), v2.dtype),
+        ),
+        interpret=interpret,
+    )(v_p, a)
+    return out[:b, 0], s[:b]
+
+
+def _fm_flat_pallas_bwd(v2, s, g, f, k, interpret):
+    b, fk = v2.shape
+    tb = _flat_tile_b(fk, v2.dtype)
+    bp = _round_up(max(b, tb), tb)
+    v_p = jnp.pad(v2, ((0, bp - b), (0, 0)))
+    s_p = jnp.pad(s, ((0, bp - b), (0, 0)))
+    g_p = jnp.pad(g.reshape(b, 1).astype(jnp.float32), ((0, bp - b), (0, 0)))
+    at = _field_sum_matrix(f, k, jnp.float32).T  # [K, F*K]
+    dv = pl.pallas_call(
+        _fm_flat_bwd_kernel,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, fk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, fk), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, fk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, fk), v2.dtype),
+        interpret=interpret,
+    )(v_p, s_p, at, g_p)
+    return dv[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fm_cross_flat_pallas(v2, f: int, k: int, interpret: bool | None = None):
+    """Lane-packed Pallas FM: v2 [B, F*K] -> [B] fp32 logits.
+
+    Requires F*K to be a lane-tile multiple (128); callers fall back to
+    fm_cross_flat (XLA) otherwise — see fm_cross_flat_dispatch."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    out, _ = _fm_flat_pallas_fwd(v2, f, k, interpret)
+    return out
+
+
+def _fm_flat_pallas_vjp_fwd(v2, f, k, interpret):
+    if interpret is None:
+        interpret = not _on_tpu()
+    out, s = _fm_flat_pallas_fwd(v2, f, k, interpret)
+    return out, (v2, s)
+
+
+def _fm_flat_pallas_vjp_bwd(f, k, interpret, res, g):
+    if interpret is None:
+        interpret = not _on_tpu()
+    v2, s = res
+    return (_fm_flat_pallas_bwd(v2, s, g, f, k, interpret),)
+
+
+fm_cross_flat_pallas.defvjp(_fm_flat_pallas_vjp_fwd, _fm_flat_pallas_vjp_bwd)
+
+_FLAT_AUTO = {"tpu": "xla", "other": "xla"}
+
+
+def set_flat_auto_impl(name: str, on_tpu: bool = True) -> None:
+    assert name in ("xla", "pallas"), name
+    _FLAT_AUTO["tpu" if on_tpu else "other"] = name
+
+
+def fm_cross_flat_dispatch(v2, f: int, k: int, impl: str = "auto"):
+    """Flat FM entry point used by the flat-layout models.
+
+    "auto" resolves to the measured winner for this backend; the Pallas
+    kernel needs F*K % 128 == 0 and falls back to XLA otherwise."""
+    if impl == "auto":
+        impl = _FLAT_AUTO["tpu" if _on_tpu() else "other"]
+    if impl == "pallas" and v2.shape[1] % 128 == 0:
+        return fm_cross_flat_pallas(v2, f, k)
+    return fm_cross_flat(v2, f, k)
+
+
 def _fm_fwd_kernel(v_ref, out_ref):
     v = v_ref[:].astype(jnp.float32)
     s = jnp.sum(v, axis=1)  # [TB, K]

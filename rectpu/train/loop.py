@@ -64,6 +64,12 @@ class TrainConfig:
     # sizes. Affects optimizer dynamics for non-scale-invariant optimizers
     # (FTRL/Adagrad/SGD); choose "sum" for strict reference-1.12 dynamics.
     loss_reduction: str = "mean"
+    # "streaming" (200-threshold confusion-matrix AUC, tf.metrics.auc parity,
+    # within ~0.005 of exact) or "exact" (rank-based on the gathered eval
+    # probabilities — use for ±0.002 parity-gate decisions; the streaming
+    # value is still reported as auc_streaming). Single-process only; a
+    # multi-host plan keeps streaming and logs a warning.
+    eval_auc: str = "streaming"
 
 
 class Trainer:
@@ -148,6 +154,18 @@ class Trainer:
             mstate, _ = jax.lax.scan(body, mstate, batches)
             return mstate
 
+        def eval_probs_scan(params, batches):
+            """Stacked eval probabilities for the exact (rank-based) AUC."""
+
+            def body(_, batch):
+                logits = self.model.apply(
+                    params, batch, train=False, lookup_fn=self._lookup_fn()
+                )
+                return None, metrics_lib.binary_predictions(logits)["probabilities"]
+
+            _, probs = jax.lax.scan(body, None, batches)
+            return probs
+
         def train_one(params, opt_state, rng, step, batch):
             (params, opt_state, _, step), loss = one_step((params, opt_state, rng, step), batch)
             return params, opt_state, loss
@@ -160,6 +178,7 @@ class Trainer:
             self._train_chunk = jax.jit(train_chunk, donate_argnums=(0, 1))
             self._eval_step = jax.jit(eval_step, donate_argnums=(1,))
             self._eval_scan = jax.jit(eval_scan, donate_argnums=(1,))
+        self._eval_probs_scan = jax.jit(eval_probs_scan)
         self._train_one = jax.jit(train_one, donate_argnums=(0, 1))
         self._eval_cache = None  # device-resident stacked eval set
 
@@ -216,7 +235,27 @@ class Trainer:
             self._eval_cache = stacked
         mstate = self._eval_scan(params, mstate, self._eval_cache)
         result = metrics_lib.finalize(jax.device_get(mstate))
-        return {k: float(v) for k, v in result.items()}
+        result = {k: float(v) for k, v in result.items()}
+        if self.config.eval_auc == "exact":
+            if self.plan is not None:
+                logger.warning(
+                    "eval_auc=exact needs host-gathered probabilities; "
+                    "multi-host plan active -> keeping streaming AUC"
+                )
+            else:
+                probs = np.asarray(
+                    jax.device_get(self._eval_probs_scan(params, self._eval_cache))
+                ).ravel()
+                labels = np.asarray(jax.device_get(self._eval_cache["labels"])).ravel()
+                w = self._eval_cache.get("weights")
+                valid = (
+                    np.asarray(jax.device_get(w)).ravel() > 0
+                    if w is not None
+                    else slice(None)
+                )
+                result["auc_streaming"] = result["auc"]
+                result["auc"] = metrics_lib.exact_auc(probs[valid], labels[valid])
+        return result
 
     def _log_histograms(self, params, step: int, max_elems: int = 65536) -> None:
         """Per-parameter histograms + zero-fraction scalars (layer_summary

@@ -125,6 +125,12 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
     parser.add_argument("--best-exporter-metric", default="auc",
                         help="eval metric the 'best' exporter compares "
                              "(lower-is-better for average_loss)")
+    parser.add_argument("--eval-auc", choices=["streaming", "exact"],
+                        default="streaming",
+                        help="'streaming' = 200-threshold tf.metrics.auc parity "
+                             "(within ~0.005 of exact); 'exact' = rank-based AUC "
+                             "on the gathered eval probabilities - use for "
+                             "parity-gate runs (single-process only)")
     parser.add_argument("--autotune", action="store_true",
                         help="benchmark kernel impls at the working shapes and pin winners")
     parser.add_argument("--profile-dir", default=None,
@@ -317,6 +323,7 @@ def build_trainer(args, model, optimizer=None):
         steps_per_loop=args.steps_per_loop,
         seed=args.seed,
         loss_reduction=args.loss_reduction,
+        eval_auc=getattr(args, "eval_auc", "streaming"),
     )
     optimizer = optimizer or model.default_optimizer()
     if getattr(args, "table_store", "float32") == "bfloat16":

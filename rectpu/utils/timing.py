@@ -1,0 +1,61 @@
+"""Trustworthy device timing through the remote TPU tunnel.
+
+Two failure modes of naive timing here, both observed on real hardware:
+
+1. Un-chained loops: N independent dispatches overlap/elide through the
+   async pipeline and report impossible numbers (round-1 finding).
+2. ``block_until_ready`` returning early: the tunnel's sync path can
+   acknowledge before execution finishes (observed 2026-08-19: a 256 MB
+   sin chain "measured" 17 TB/s with block_until_ready, 298 GB/s with a
+   real data fetch). Only fetching actual bytes proves completion.
+
+The doctrine both imply: time a DEPENDENCY-CHAINED loop, synced by a real
+device->host data fetch, at TWO iteration counts, and report the slope —
+the fetch/dispatch fixed cost cancels exactly.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+
+def fetch_sync(x) -> None:
+    """Force true completion of everything enqueued before ``x`` by fetching
+    real bytes of its first leaf (a buffer's data exists only after the
+    program producing it has finished; the runtime cannot partially execute
+    a dispatched program)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf if getattr(leaf, "ndim", 0) == 0 else leaf.ravel()[:1]))
+
+
+def chained_slope_s(step_fn, x0, iters=(40, 120), repeats: int = 1) -> float:
+    """Seconds per iteration of ``x = step_fn(x)``, fixed costs cancelled.
+
+    ``step_fn`` must be jitted and feed its output back as input (the chain).
+    Runs ``iters[0]`` then ``iters[1]`` chained iterations, each synced by a
+    data fetch; returns (t2 - t1) / (n2 - n1). With ``repeats`` > 1 the whole
+    two-point measurement repeats and the MIN slope is returned — ambient
+    tunnel load only ever adds time, so min is the least-contaminated sample.
+    """
+    n1, n2 = iters
+    assert n2 > n1 > 0
+    x = step_fn(x0)
+    fetch_sync(x)  # warmup + compile + first sync
+    best = float("inf")
+    for _ in range(max(repeats, 1)):
+        t = []
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x = step_fn(x)
+            fetch_sync(x)
+            t.append(time.perf_counter() - t0)
+        best = min(best, (t[1] - t[0]) / (n2 - n1))
+    return best
+
+
+def chained_slope_ms(step_fn, x0, iters=(40, 120), repeats: int = 1) -> float:
+    return 1e3 * chained_slope_s(step_fn, x0, iters, repeats)

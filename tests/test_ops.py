@@ -95,3 +95,48 @@ def test_fm_matmul_matches_xla(rng):
         g_ref = jax.grad(lambda x: jnp.sum(w * fm_cross_xla(x)))(v)
         g_mm = jax.grad(lambda x: jnp.sum(w * fm_cross_matmul(x)))(v)
         np.testing.assert_allclose(g_mm, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fm_flat_pallas_matches_xla(rng):
+    """Lane-packed Pallas FM == flat XLA identity, fwd + weighted grad
+    (interpret mode; F*K = 4*128 = 512 lanes so the kernel path is taken)."""
+    from rectpu.ops.fm import fm_cross_flat, fm_cross_flat_pallas
+
+    b, f, k = 48, 4, 128
+    v2 = jnp.asarray(rng.normal(size=(b, f * k)).astype(np.float32))
+    np.testing.assert_allclose(
+        fm_cross_flat_pallas(v2, f, k, True),
+        fm_cross_flat(v2, f, k),
+        rtol=1e-4, atol=1e-5,
+    )
+    w = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
+    g_ref = jax.grad(lambda x: jnp.sum(w * fm_cross_flat(x, f, k)))(v2)
+    g_pal = jax.grad(lambda x: jnp.sum(w * fm_cross_flat_pallas(x, f, k, True)))(v2)
+    np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fm_flat_pallas_ragged_batch_and_naive(rng):
+    """Non-tile batch sizes pad correctly; fp64 naive oracle agreement."""
+    from rectpu.ops.fm import fm_cross_flat_pallas
+
+    b, f, k = 37, 2, 128
+    v = rng.normal(size=(b, f, k)).astype(np.float32)
+    naive = 0.5 * (
+        (v.astype(np.float64).sum(1) ** 2).sum(-1)
+        - (v.astype(np.float64) ** 2).sum(1).sum(-1)
+    )
+    got = fm_cross_flat_pallas(jnp.asarray(v.reshape(b, f * k)), f, k, True)
+    np.testing.assert_allclose(got, naive, rtol=1e-4, atol=1e-4)
+
+
+def test_fm_flat_dispatch_fallback(rng):
+    """F*K not a lane multiple -> dispatcher falls back to the XLA impl."""
+    from rectpu.ops.fm import fm_cross_flat, fm_cross_flat_dispatch
+
+    b, f, k = 16, 26, 4  # F*K = 104, not a multiple of 128
+    v2 = jnp.asarray(rng.normal(size=(b, f * k)).astype(np.float32))
+    np.testing.assert_allclose(
+        fm_cross_flat_dispatch(v2, f, k, impl="pallas"),
+        fm_cross_flat(v2, f, k),
+        rtol=1e-5, atol=1e-6,
+    )

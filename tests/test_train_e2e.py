@@ -135,6 +135,30 @@ def test_eval_auc_matches_exact_oracle(synthetic_dir, tmp_path):
     oracle = exact_auc(probs, eval_ds.labels)
     assert abs(m["auc"] - oracle) < 0.005
 
+    # eval_auc="exact" must reproduce the offline oracle EXACTLY (same math
+    # on the same probabilities), with the streaming value kept alongside
+    trainer.config.eval_auc = "exact"
+    m_exact = trainer.evaluate(params)
+    assert abs(m_exact["auc"] - oracle) < 1e-6
+    assert abs(m_exact["auc_streaming"] - m["auc"]) < 1e-6
+
+
+def test_eval_auc_cli_flag(synthetic_dir, tmp_path):
+    """--eval-auc exact flows through the real trainer CLI parser and the
+    reported AUC is the rank-based one (auc_streaming also present)."""
+    from rectpu.trainers import deep_fm as mod
+
+    args = mod.build_parser().parse_args([
+        "--train-csv", str(synthetic_dir["train"]),
+        "--test-csv", str(synthetic_dir["test"]),
+        "--job-dir", str(tmp_path / "exact_cli"),
+        "--train-steps", "60", "--steps-per-loop", "30",
+        "--batch-size", "64", "--eval-auc", "exact",
+    ])
+    metrics = mod.train_and_evaluate(args)
+    assert "auc_streaming" in metrics
+    assert abs(metrics["auc"] - metrics["auc_streaming"]) < 0.01
+
 
 def test_pipelined_dispatch_matches_scan(synthetic_dir, tmp_path):
     """dispatch_mode='pipelined' must reproduce the scan path's metrics
