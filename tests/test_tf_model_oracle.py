@@ -27,7 +27,10 @@ INT_COLS = ("user_id", "item_id", "age", "release_year")
 def _load_raw(csv_path):
     import pandas as pd
 
-    df = pd.read_csv(csv_path)
+    # string columns must stay RAW CSV TEXT: the reference's tf.data
+    # decode_csv hashes e.g. zipcode "03364" with its leading zero; pandas
+    # int inference would hash "3364" instead
+    df = pd.read_csv(csv_path, dtype={c: str for c in STR_COLS})
     feats = {}
     for c in INT_COLS:
         feats[c] = df[c].to_numpy(np.int64)
@@ -220,3 +223,192 @@ def test_auc_matches_tf_kernel_oracle(synthetic_dir, tmp_path, family, steps, to
     # the TF side to have actually learned
     assert tf_auc > 0.55, tf_auc
     assert abs(ours["auc"] - tf_auc) < tol, (family, ours["auc"], tf_auc)
+
+
+# --- Matched-init per-step parity for the DNN family -------------------------
+#
+# The AUC-spread pin above is soft for "deep" (seed variance). This is the
+# hard pin (VERDICT round-1 item 5): copy the TF oracle's exact initial
+# variables into rectpu's param tree, replay the identical batch-index
+# sequence, and require per-step losses and final probabilities to agree —
+# the same way the optimizer tests pin update rules elementwise.
+
+
+def _tf_deep_matched(train_csv, test_csv, steps, batch, k, hidden, seed=0):
+    """Train TF's DNN (input_layer + dense stack + Adagrad 0.05) and capture
+    the initial variables, the per-step losses, and the final test probs."""
+    import tensorflow as tf
+
+    v1 = tf.compat.v1
+    tr_feats, tr_labels = _load_raw(train_csv)
+    te_feats, te_labels = _load_raw(test_csv)
+
+    with tf.Graph().as_default():
+        v1.set_random_seed(seed)
+        ph = {}
+        for c in INT_COLS:
+            ph[c] = v1.placeholder(tf.int64, [None], name=c)
+        for c in STR_COLS:
+            ph[c] = v1.placeholder(tf.string, [None], name=c)
+        for g in GENRE:
+            ph[g] = v1.placeholder(tf.int64, [None], name=g)
+        labels_ph = v1.placeholder(tf.float32, [None])
+        feats2d = {name: tf.expand_dims(t, -1) for name, t in ph.items()}
+        feats2d["age"] = tf.cast(feats2d["age"], tf.float32)
+        feats2d["release_year"] = tf.cast(feats2d["release_year"], tf.float32)
+
+        cat_cols = _tf_reference_columns(tf)
+        deep_cols = [tf.feature_column.embedding_column(c, k) for c in cat_cols]
+        inp = v1.feature_column.input_layer(dict(feats2d), deep_cols)
+
+        x = inp
+        dims = [int(inp.shape[-1])] + list(hidden)
+        mlp_vars = []
+        for i in range(len(hidden)):
+            w = v1.get_variable(f"dnn_w{i}", [dims[i], dims[i + 1]],
+                                initializer=v1.glorot_uniform_initializer(seed=seed + i))
+            b = v1.get_variable(f"dnn_b{i}", [dims[i + 1]],
+                                initializer=v1.zeros_initializer())
+            mlp_vars.append((w, b))
+            x = tf.nn.relu(tf.matmul(x, w) + b)
+        w_out = v1.get_variable("dnn_out_w", [dims[-1], 1],
+                                initializer=v1.glorot_uniform_initializer(seed=seed + 99))
+        b_out = v1.get_variable("dnn_out_b", [1], initializer=v1.zeros_initializer())
+        mlp_vars.append((w_out, b_out))
+        logits = tf.squeeze(tf.matmul(x, w_out) + b_out, -1)
+        probs = tf.sigmoid(logits)
+        loss = tf.reduce_mean(
+            tf.nn.sigmoid_cross_entropy_with_logits(labels=labels_ph, logits=logits))
+        train_op = v1.train.AdagradOptimizer(0.05).minimize(loss)
+
+        emb_vars = {
+            v.name: v for v in v1.global_variables() if "embedding_weights" in v.name
+        }
+
+        def feed(feats, idx, labels=None):
+            fd = {ph[c]: feats[c][idx] for c in ph}
+            if labels is not None:
+                fd[labels_ph] = labels[idx]
+            return fd
+
+        rng = np.random.default_rng(seed)
+        n = len(tr_labels)
+        losses = []
+        with v1.Session() as sess:
+            sess.run([v1.global_variables_initializer(), v1.tables_initializer()])
+            init_emb = {name: sess.run(v) for name, v in emb_vars.items()}
+            init_mlp = [(sess.run(w), sess.run(b)) for w, b in mlp_vars]
+            for _ in range(steps):
+                idx = rng.integers(0, n, batch)
+                l, _ = sess.run([loss, train_op], feed(tr_feats, idx, tr_labels))
+                losses.append(l)
+            out = []
+            for lo in range(0, len(te_labels), 4096):
+                idx = np.arange(lo, min(lo + 4096, len(te_labels)))
+                out.append(sess.run(probs, feed(te_feats, idx)))
+    return {
+        "init_emb": init_emb,          # name -> [buckets, k]
+        "init_mlp": init_mlp,          # [(w, b), ...]
+        "losses": np.asarray(losses),
+        "probs": np.concatenate(out),
+        "labels": te_labels,
+    }
+
+
+def test_deep_matched_init_per_step_parity(synthetic_dir):
+    """rectpu's DNN, initialized from the TF oracle's exact initial weights
+    and fed the identical batch sequence, must track TF's per-step losses
+    and final probabilities (ref trainers/deep.py:32-38 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.io.loader import CsvDataset
+    from rectpu.models import DNNModel, TowerConfig
+    from rectpu.train.metrics import sigmoid_xent
+    from rectpu.train.optimizers import adagrad
+
+    steps, batch, k, hidden, seed = 400, 32, 4, (16, 16), 0
+    oracle = _tf_deep_matched(
+        synthetic_dir["train"], synthetic_dir["test"], steps, batch, k, hidden, seed
+    )
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=k, hidden_units=hidden, dropout=0.0)
+    model = DNNModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # --- inject the TF inits ------------------------------------------------
+    # embedding table: TF keeps one [buckets, k] variable per column, named
+    # input_layer/<col>_embedding/embedding_weights; our unified table holds
+    # field f's rows at offsets[f]. TF's "<col>" is the categorical column
+    # name (bucketized columns get a _bucketized suffix).
+    def tf_col_name(field_name):
+        return {"age": "age_bucketized", "release_year": "release_year_bucketized"}.get(
+            field_name, field_name
+        )
+
+    table = np.array(params["emb"], np.float32, copy=True)
+    field_names = [f.name for f in fs.categorical]
+    for f_idx, name in enumerate(field_names):
+        var_name = f"input_layer/{tf_col_name(name)}_embedding/embedding_weights:0"
+        vals = oracle["init_emb"][var_name]
+        off, size = int(fs.offsets[f_idx]), fs.field_sizes[f_idx]
+        assert vals.shape == (size, k), (name, vals.shape, size)
+        table[off : off + size] = vals
+    params["emb"] = jnp.asarray(table)
+
+    # MLP: TF's input_layer concatenates columns sorted by NAME; ours uses
+    # feature_set order — permute w0's k-row blocks accordingly.
+    sorted_pos = {
+        name: p
+        for p, name in enumerate(sorted(field_names, key=lambda n: tf_col_name(n) + "_embedding"))
+    }
+    w0_tf, b0_tf = oracle["init_mlp"][0]
+    w0 = np.empty_like(w0_tf)
+    for f_idx, name in enumerate(field_names):
+        p = sorted_pos[name]
+        w0[f_idx * k : (f_idx + 1) * k] = w0_tf[p * k : (p + 1) * k]
+    params["mlp"][0]["kernel"] = jnp.asarray(w0)
+    params["mlp"][0]["bias"] = jnp.asarray(b0_tf)
+    for i in range(1, len(params["mlp"])):
+        w, b = oracle["init_mlp"][i]
+        params["mlp"][i]["kernel"] = jnp.asarray(w)
+        params["mlp"][i]["bias"] = jnp.asarray(b)
+
+    # --- identical training loop -------------------------------------------
+    train_ds = CsvDataset(synthetic_dir["train"], fs)
+    test_ds = CsvDataset(synthetic_dir["test"], fs)
+    opt = adagrad(learning_rate=0.05)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids, labels):
+        def loss_fn(p):
+            logits = model.apply(p, {"cat_ids": ids, "num_vals": np.zeros((len(labels), 0), np.float32)})
+            return sigmoid_xent(logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    n = train_ds.size
+    ours_losses = []
+    for _ in range(steps):
+        idx = rng.integers(0, n, batch)
+        params, opt_state, loss = step(
+            params, opt_state, train_ds.cat_ids[idx], train_ds.labels[idx]
+        )
+        ours_losses.append(float(loss))
+    ours_losses = np.asarray(ours_losses)
+
+    # per-step losses track elementwise (identical math modulo op ordering)
+    np.testing.assert_allclose(ours_losses[:50], oracle["losses"][:50], atol=2e-4)
+    np.testing.assert_allclose(ours_losses, oracle["losses"], atol=3e-3)
+
+    # final predictions agree pointwise, hence so does the AUC
+    logits = model.apply(params, {"cat_ids": test_ds.cat_ids, "num_vals": test_ds.num_vals})
+    ours_probs = np.asarray(jax.nn.sigmoid(logits))
+    np.testing.assert_allclose(ours_probs, oracle["probs"], atol=5e-3)
+    assert abs(exact_auc(ours_probs, test_ds.labels) - exact_auc(oracle["probs"], oracle["labels"])) < 1e-3
