@@ -232,11 +232,14 @@ class FeatureSet:
             float32.
         """
         offs = self.offsets
-        ids = [
-            f.encode(columns[f.name]).astype(np.int32) + offs[i]
-            for i, f in enumerate(self.categorical)
-        ]
-        batch = {"cat_ids": np.stack(ids, axis=1)}
+        n = len(np.asarray(columns[self.categorical[0].name]))
+        cat_ids = np.empty((n, len(self.categorical)), dtype=np.int32)
+        for i, f in enumerate(self.categorical):
+            # encode straight into the output column: one strided write
+            # replaces the astype copy + np.stack copy of the list version
+            np.add(f.encode(columns[f.name]), offs[i], out=cat_ids[:, i],
+                   casting="unsafe")
+        batch = {"cat_ids": cat_ids}
         if self.numeric:
             batch["num_vals"] = np.stack(
                 [f.encode(columns[f.name]) for f in self.numeric], axis=1

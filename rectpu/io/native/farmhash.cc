@@ -186,12 +186,27 @@ extern "C" void rectpu_hash_strings_fixed(const char* buf, int64_t itemsize,
   }
 }
 
+// decimal itoa without the snprintf format-machinery overhead (~4x faster
+// per element; this sits on the serving request-encode hot path)
+static inline int fast_i64toa(int64_t v, char* buf) {
+  char tmp[20];
+  int t = 0;
+  uint64_t u = v < 0 ? static_cast<uint64_t>(-(v + 1)) + 1 : static_cast<uint64_t>(v);
+  do {
+    tmp[t++] = static_cast<char>('0' + u % 10);
+    u /= 10;
+  } while (u);
+  int len = 0;
+  if (v < 0) buf[len++] = '-';
+  while (t) buf[len++] = tmp[--t];
+  return len;
+}
+
 extern "C" void rectpu_hash_ints(const int64_t* vals, size_t n, int64_t buckets,
                                  int32_t* out) {
   char buf[24];
   for (size_t i = 0; i < n; ++i) {
-    int len = std::snprintf(buf, sizeof(buf), "%lld",
-                            static_cast<long long>(vals[i]));
+    int len = fast_i64toa(vals[i], buf);
     out[i] = static_cast<int32_t>(rectpu_fingerprint64(buf, len) %
                                   static_cast<uint64_t>(buckets));
   }

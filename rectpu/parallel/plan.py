@@ -46,12 +46,21 @@ class ParallelPlan:
     # static per-peer request slots for the dedup exchange (MoE capacity
     # contract; None = provably-lossless default, see make_ep_lookup_dedup)
     ep_peer_capacity: int | None = None
+    # Megatron-style tensor parallelism for the dense towers: MLP kernels
+    # alternate column-sharded (even layers, P(None,'model')) and
+    # row-sharded (odd layers, P('model',None)) so consecutive layers chain
+    # without a resharding collective; GSPMD inserts the one psum per pair.
+    # At the reference tower sizes ([1664,256]+[256,128] ~ 1.8 MB of weights)
+    # the activation collectives outweigh the compute split — built to close
+    # SURVEY §2c's TP row and for wider-tower configs; see docs/distributed.md.
+    tp_mlp: bool = False
 
     @classmethod
     def create(
         cls, num_data_shards: int, num_model_shards: int = 1, devices=None,
         table_rows: int | None = None, ep_mode: str = "2d",
         ep_comm_compress: str | None = None, ep_peer_capacity: int | None = None,
+        tp_mlp: bool = False,
     ):
         mesh = make_mesh(num_data_shards, num_model_shards, devices)
         ep = num_model_shards > 1
@@ -78,9 +87,11 @@ class ParallelPlan:
                 raise ValueError("ep_comm_compress requires ep_mode '2d' or 'dedup'")
             lookup_fn = make_ep_lookup(mesh)
             lookup_fn.flat_variant = make_ep_lookup_flat(mesh)
+        if tp_mlp and num_model_shards <= 1:
+            raise ValueError("tp_mlp requires num_model_shards > 1")
         return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
                    ep_mode=ep_mode, ep_comm_compress=ep_comm_compress,
-                   ep_peer_capacity=ep_peer_capacity)
+                   ep_peer_capacity=ep_peer_capacity, tp_mlp=tp_mlp)
 
     @property
     def _batch_axes(self):
@@ -106,10 +117,54 @@ class ParallelPlan:
             return P(MODEL_AXIS, None)
         return P()
 
+    _TP_TOWER_KEYS = frozenset({"mlp", "top", "bot"})
+
+    def _tp_spec(self, path, leaf) -> P | None:
+        """Megatron alternation for `<tower>[i].{kernel,bias}` leaves.
+
+        Even layers column-shard the kernel (output dim on 'model', bias
+        sharded alike); odd layers row-shard (input dim on 'model', bias
+        replicated — it adds after GSPMD's psum). The final logit layer
+        (out_dim 1) row-shards. Non-divisible dims stay replicated. Works on
+        both param trees and optimizer-state twins (same path suffixes)."""
+        keys = [
+            getattr(p, "key", getattr(p, "idx", None)) for p in path
+        ]
+        leaf_kind = keys[-1] if keys else None
+        if leaf_kind not in ("kernel", "bias"):
+            return None
+        layer = None
+        for j in range(len(keys) - 1):
+            if keys[j] in self._TP_TOWER_KEYS and isinstance(keys[j + 1], int):
+                layer = keys[j + 1]
+        if layer is None:
+            return None
+        n_model = self.mesh.shape[MODEL_AXIS]
+
+        def fits(dim):
+            return dim % n_model == 0
+
+        if leaf_kind == "kernel" and getattr(leaf, "ndim", 0) == 2:
+            col = layer % 2 == 0 and leaf.shape[1] > 1
+            if col and fits(leaf.shape[1]):
+                return P(None, MODEL_AXIS)
+            if not col and fits(leaf.shape[0]):
+                return P(MODEL_AXIS, None)
+            return P()
+        if leaf_kind == "bias" and getattr(leaf, "ndim", 0) == 1:
+            if layer % 2 == 0 and leaf.shape[0] > 1 and fits(leaf.shape[0]):
+                return P(MODEL_AXIS)
+            return P()
+        return None
+
     def shard_params(self, params):
-        return jax.tree.map(
-            lambda leaf: jax.device_put(leaf, self._sh(self._param_spec(leaf))), params
-        )
+        def place(path, leaf):
+            spec = self._tp_spec(path, leaf) if self.tp_mlp else None
+            if spec is None:
+                spec = self._param_spec(leaf)
+            return jax.device_put(leaf, self._sh(spec))
+
+        return jax.tree_util.tree_map_with_path(place, params)
 
     def _put_batchlike(self, tree: dict, spec_of) -> dict:
         """Place host arrays with batch-dim sharding. Single-process: a plain

@@ -252,10 +252,25 @@ class ServingModel:
         missing = [k for k in required if k not in features]
         if missing:
             raise ValueError(f"missing required serving features: {missing}")
+        def to_column(value, name):
+            """One-pass conversion to the dtype the encoders consume: string
+            columns go STRAIGHT to a NUL-padded bytes array (the native
+            FarmHash input format) instead of via a Python-object array that
+            hash_bucket would re-convert — this double conversion was most
+            of the 8 ms/4096-row encode (RESULTS.md serving/encode)."""
+            from rectpu.features.schema import is_string_column
+
+            if is_string_column(name):
+                try:
+                    return np.asarray(value, dtype=np.bytes_).reshape(-1)
+                except (UnicodeEncodeError, ValueError):
+                    pass  # non-ASCII: fall through to the object array
+            return np.asarray(value).reshape(-1)
+
         n = len(np.asarray(features["user_id"]).reshape(-1))
         columns = {}
         for key in SERVING_REQUIRED:
-            columns[key] = np.asarray(features[key]).reshape(-1)
+            columns[key] = to_column(features[key], key)
         for g in GENRE:
             columns[g] = (
                 np.asarray(features[g]).reshape(-1)

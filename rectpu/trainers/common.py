@@ -81,6 +81,12 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                         help="data-parallel mesh size (1 = single device)")
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="embedding (EP) mesh size (1 = unsharded tables)")
+    parser.add_argument("--tp-mlp", action="store_true",
+                        help="tensor-parallel dense towers: MLP kernels "
+                             "alternate column/row sharding over the 'model' "
+                             "axis (Megatron style, GSPMD collectives). Only "
+                             "pays at much wider towers than the reference "
+                             "defaults - see docs/distributed.md")
     parser.add_argument("--ep-mode", default="2d", choices=["1d", "2d", "dedup"],
                         help="EP exchange: '2d' dense reduce_scatter (DLRM), 'dedup' "
                              "unique-row all_to_all (wide K), '1d' masked gather+psum")
@@ -312,6 +318,7 @@ def build_trainer(args, model, optimizer=None):
             ep_mode=getattr(args, "ep_mode", "2d"),
             ep_comm_compress=getattr(args, "ep_comm_compress", None),
             ep_peer_capacity=peer_capacity,
+            tp_mlp=getattr(args, "tp_mlp", False),
         )
 
     config = TrainConfig(

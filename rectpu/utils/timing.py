@@ -45,6 +45,7 @@ def chained_slope_s(step_fn, x0, iters=(40, 120), repeats: int = 1) -> float:
     x = step_fn(x0)
     fetch_sync(x)  # warmup + compile + first sync
     best = float("inf")
+    fallback = float("inf")
     for _ in range(max(repeats, 1)):
         t = []
         for n in (n1, n2):
@@ -53,8 +54,14 @@ def chained_slope_s(step_fn, x0, iters=(40, 120), repeats: int = 1) -> float:
                 x = step_fn(x)
             fetch_sync(x)
             t.append(time.perf_counter() - t0)
-        best = min(best, (t[1] - t[0]) / (n2 - n1))
-    return best
+        slope = (t[1] - t[0]) / (n2 - n1)
+        if slope > 0:
+            best = min(best, slope)
+        # host contention can make the first window slower than the second,
+        # driving the slope to <= 0; keep a fixed-cost-inclusive upper bound
+        # as the fallback so the result is always positive
+        fallback = min(fallback, t[1] / n2)
+    return best if best != float("inf") else fallback
 
 
 def chained_slope_ms(step_fn, x0, iters=(40, 120), repeats: int = 1) -> float:

@@ -342,3 +342,35 @@ def test_trainer_with_best_exporter(synthetic_dir, tmp_path):
         "zipcode": np.array(["12345"]), "release_year": np.array([1990]),
     })
     assert 0 <= float(out["probabilities"][0]) <= 1
+
+
+def test_encode_request_nonascii_and_leading_zero_strings():
+    """The fast S-dtype encode path must keep raw-string hash semantics:
+    leading-zero zipcodes hash as their full text, and non-ASCII values fall
+    back to the object path with identical utf-8 hashing."""
+    import numpy as np
+
+    from rectpu.features.hashing import hash_bucket
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import ServingModel
+
+    import jax
+
+    fs = ml_100k_feature_set()
+    model = DeepFMModel(TowerConfig(feature_set=fs))
+    sm = ServingModel(model, model.init(jax.random.PRNGKey(0)), fs)
+    req = {
+        "user_id": [1, 2], "item_id": [3, 4], "age": [25, 30],
+        "gender": ["F", "M"], "occupation": ["café-owner", "writer"],
+        "zipcode": ["03364", "94043"], "release_year": [1990, 1991],
+    }
+    b = sm.encode_request(req)
+    occ = b["cat_ids"][:, 4] - int(fs.offsets[4])
+    assert np.array_equal(
+        occ, hash_bucket(np.array(["café-owner", "writer"], dtype=object), 50)
+    )
+    zc = b["cat_ids"][:, 5] - int(fs.offsets[5])
+    assert np.array_equal(
+        zc, hash_bucket(np.array(["03364", "94043"], dtype=object), 1000)
+    )

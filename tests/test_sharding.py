@@ -500,3 +500,80 @@ def test_sharded_flat_train_step_1d_matches_single_device(rng):
         ),
         jax.device_get(p_ref), jax.device_get(p_out),
     )
+
+
+# --- Tensor parallelism for the dense towers (SURVEY §2c TP row) -------------
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_tp_train_step_matches_single_device(shape, rng):
+    """tp_mlp=True: Megatron column/row-sharded towers must reproduce the
+    single-device step (allclose: GSPMD's psum changes reduction order)."""
+    nd, nm = shape
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=8 * nm)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = model.default_optimizer()
+    opt_state = opt.init(params)
+    batch = _batch(fs, 32, rng)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def step(params, opt_state, batch, lookup_fn):
+        def loss_fn(p):
+            logits = model.apply(p, batch, train=False, lookup_fn=lookup_fn)
+            return sigmoid_xent(logits, batch["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    p_ref, _, loss_ref = jax.jit(lambda p, s, b: step(p, s, b, None))(
+        params, opt_state, batch_j
+    )
+
+    plan = ParallelPlan.create(nd, nm, table_rows=cfg.padded_buckets, tp_mlp=True)
+    p_sh = plan.shard_params(params)
+    s_sh = plan.shard_params(opt_state)
+    b_sh = plan.shard_batch(batch)
+    p_out, _, loss_sh = jax.jit(lambda p, s, b: step(p, s, b, plan.lookup_fn))(
+        p_sh, s_sh, b_sh
+    )
+
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        jax.device_get(p_ref), jax.device_get(p_out),
+    )
+
+
+def test_tp_param_sharding_rules():
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=32)
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets, tp_mlp=True)
+    model = DeepFMModel(cfg)
+    params = plan.shard_params(model.init(jax.random.PRNGKey(0)))
+    P = jax.sharding.PartitionSpec
+    # layer 0: column-sharded kernel + sharded bias
+    assert params["mlp"][0]["kernel"].sharding.spec == P(None, "model")
+    assert params["mlp"][0]["bias"].sharding.spec == P("model")
+    # layer 1: row-sharded kernel, replicated bias
+    assert params["mlp"][1]["kernel"].sharding.spec == P("model", None)
+    assert params["mlp"][1]["bias"].sharding.spec == P()
+    # final logit layer (out=1): row-sharded on the input dim
+    assert params["mlp"][2]["kernel"].sharding.spec == P("model", None)
+    # embedding table keeps the EP rule
+    assert params["emb"].sharding.spec == P("model", None)
+    # optimizer-state twins follow the same path rules
+    opt_state = plan.shard_params(model.default_optimizer().init(params))
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    kernel_specs = {
+        tuple(str(k) for k in path): leaf.sharding.spec
+        for path, leaf in flat
+        if "kernel" in str(path[-1])
+    }
+    assert any(s == P(None, "model") for s in kernel_specs.values())
