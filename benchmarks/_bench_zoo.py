@@ -95,6 +95,11 @@ def main():
     # serial XLA scatter without it)
     measure(DLRMModel(TowerConfig(**base, table_padding=2048, scatter_impl="mxu")),
             staged, batch)
+    # DLRM flat: lane-packed lookup_flat + merged mxu-scatter backward +
+    # the fast interaction backward (interact_xla_fast) — the headline path
+    measure(DLRMModel(TowerConfig(**base, flat_layout=True, scatter_impl="mxu",
+                                  table_padding=2048)),
+            staged, batch)
 
 
 if __name__ == "__main__":

@@ -229,5 +229,10 @@ def hash_bucket(values, num_buckets: int) -> np.ndarray:
     flat = values.reshape(-1)
     oflat = out.reshape(-1)
     for i in range(flat.shape[0]):
-        oflat[i] = fingerprint64(str(flat[i])) % num_buckets
+        v = flat[i]
+        # S-dtype / bytes elements hash their raw bytes — str(b"x") would
+        # hash the "b'x'" repr (caught by the serving leading-zero test
+        # when the native lib is unbuilt)
+        b = bytes(v) if isinstance(v, (bytes, np.bytes_)) else str(v).encode("utf-8")
+        oflat[i] = fingerprint64_bytes(b) % num_buckets
     return out

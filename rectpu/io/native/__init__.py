@@ -46,6 +46,28 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        if hasattr(lib, "rectpu_json_parse"):
+            # serving request fast path; older .so files skip it
+            lib.rectpu_json_parse.restype = ctypes.c_void_p
+            lib.rectpu_json_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.rectpu_json_error.restype = ctypes.c_char_p
+            lib.rectpu_json_error.argtypes = [ctypes.c_void_p]
+            lib.rectpu_json_rows.restype = ctypes.c_int64
+            lib.rectpu_json_rows.argtypes = [ctypes.c_void_p]
+            lib.rectpu_json_cols.restype = ctypes.c_int64
+            lib.rectpu_json_cols.argtypes = [ctypes.c_void_p]
+            lib.rectpu_json_col_info.restype = ctypes.c_int
+            lib.rectpu_json_col_info.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.rectpu_json_col_copy.restype = ctypes.c_int
+            lib.rectpu_json_col_copy.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.rectpu_json_free.restype = None
+            lib.rectpu_json_free.argtypes = [ctypes.c_void_p]
         if hasattr(lib, "rectpu_hash_strings_fixed"):
             # present from the first rebuild after this binding was added;
             # older .so files simply skip the fast fixed-stride path
@@ -90,7 +112,10 @@ def hash_ints(values: np.ndarray, num_buckets: int) -> np.ndarray:
 
 def hash_strings(values, num_buckets: int) -> np.ndarray:
     lib = _load()
-    encoded = [str(v).encode("utf-8") for v in values]
+    encoded = [
+        bytes(v) if isinstance(v, (bytes, np.bytes_)) else str(v).encode("utf-8")
+        for v in values
+    ]
     arr = (ctypes.c_char_p * len(encoded))(*encoded)
     out = np.empty(len(encoded), dtype=np.int32)
     lib.rectpu_hash_strings(
@@ -118,6 +143,53 @@ def hash_strings_array(values: np.ndarray, num_buckets: int) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out.reshape(values.shape)
+
+
+def parse_json_instances(body: bytes):
+    """Serving request fast path: parse ``{"instances": [{...}, ...]}`` bytes
+    straight into column arrays — int64 / float64 vectors and NUL-padded
+    S-dtype byte columns (the exact layout hash_strings_array consumes) —
+    with zero per-value Python objects.
+
+    Returns ``(columns dict, n_rows)`` or ``None`` when the native library is
+    unbuilt or the body falls outside the fast shape (escapes, non-ASCII,
+    nested values, inconsistent keys, extra top-level keys, malformed JSON) —
+    callers MUST fall back to the json.loads path, which defines behavior.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "rectpu_json_parse"):
+        return None
+    h = lib.rectpu_json_parse(body, len(body))
+    try:
+        if lib.rectpu_json_error(h) is not None:
+            return None
+        rows = int(lib.rectpu_json_rows(h))
+        columns = {}
+        for i in range(int(lib.rectpu_json_cols(h))):
+            name = ctypes.c_char_p()
+            name_len = ctypes.c_int64()
+            kind = ctypes.c_int64()
+            stride = ctypes.c_int64()
+            if lib.rectpu_json_col_info(h, i, ctypes.byref(name),
+                                        ctypes.byref(name_len),
+                                        ctypes.byref(kind),
+                                        ctypes.byref(stride)) != 0:
+                return None
+            if kind.value == 0:
+                out = np.empty(rows, dtype=np.int64)
+            elif kind.value == 1:
+                out = np.empty(rows, dtype=np.float64)
+            else:
+                # pre-zeroed: the C side only writes each value's bytes,
+                # the NUL padding comes from here
+                out = np.zeros(rows, dtype=f"S{stride.value}")
+            if rows and lib.rectpu_json_col_copy(
+                    h, i, out.ctypes.data_as(ctypes.c_void_p)) != 0:
+                return None
+            columns[name.value.decode("utf-8")] = out
+        return columns, rows
+    finally:
+        lib.rectpu_json_free(h)
 
 
 def load_and_encode(csv_path: str, feature_set, label_col: str, cutoff: int) -> dict:

@@ -11,7 +11,7 @@ import sys
 from pathlib import Path
 
 HERE = Path(__file__).parent
-SOURCES = ["farmhash.cc", "csv_loader.cc"]
+SOURCES = ["farmhash.cc", "csv_loader.cc", "json_columns.cc"]
 OUT = HERE / "librectpu_io.so"
 
 

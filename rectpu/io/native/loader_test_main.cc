@@ -23,6 +23,14 @@ const char* rectpu_csv_error(void* h);
 int rectpu_csv_encode(void* h, const char* spec, int32_t* out_ids, float* out_num,
                       float* out_labels);
 void rectpu_csv_free(void* h);
+void* rectpu_json_parse(const char* data, int64_t len);
+const char* rectpu_json_error(void* h);
+int64_t rectpu_json_rows(void* h);
+int64_t rectpu_json_cols(void* h);
+int rectpu_json_col_info(void* h, int64_t i, const char** name_out,
+                         int64_t* name_len, int64_t* kind_out, int64_t* stride_out);
+int rectpu_json_col_copy(void* h, int64_t i, void* out);
+void rectpu_json_free(void* h);
 }
 
 int main() {
@@ -99,6 +107,62 @@ int main() {
     rectpu_csv_free(h);
   }
   std::remove(path);
+
+  // ---- JSON request-column parser (json_columns.cc) ----
+  {
+    std::string body = "{\"instances\": [";
+    for (int i = 0; i < 500; ++i) {
+      if (i) body += ",";
+      body += "{\"user_id\": " + std::to_string(i) +
+              ", \"zipcode\": \"0" + std::to_string(i % 9999) +
+              "\", \"score\": " + std::to_string(i) + ".25}";
+    }
+    body += "]}";
+    void* j = rectpu_json_parse(body.data(), static_cast<int64_t>(body.size()));
+    assert(rectpu_json_error(j) == nullptr);
+    assert(rectpu_json_rows(j) == 500);
+    assert(rectpu_json_cols(j) == 3);
+    const char* name; int64_t nlen, kind, stride;
+    assert(rectpu_json_col_info(j, 0, &name, &nlen, &kind, &stride) == 0);
+    assert(nlen == 7 && memcmp(name, "user_id", 7) == 0 && kind == 0);
+    std::vector<int64_t> uid(500);
+    assert(rectpu_json_col_copy(j, 0, uid.data()) == 0);
+    assert(uid[0] == 0 && uid[499] == 499);
+    assert(rectpu_json_col_info(j, 1, &name, &nlen, &kind, &stride) == 0);
+    assert(kind == 2 && stride == 4);  // longest zipcode is "0499"
+    std::vector<char> zc(500 * stride, 0);
+    assert(rectpu_json_col_copy(j, 1, zc.data()) == 0);
+    assert(memcmp(zc.data(), "00\0\0", 4) == 0);
+    assert(rectpu_json_col_info(j, 2, &name, &nlen, &kind, &stride) == 0);
+    assert(kind == 1);
+    rectpu_json_free(j);
+
+    // malformed/unsupported bodies must error, never crash — including
+    // every truncation of a valid body (ASan end-of-buffer coverage)
+    const char* bad[] = {
+        "", "{", "[]", "{\"x\": 1}", "not json",
+        "{\"instances\": [{\"a\": [1]}]}",
+        "{\"instances\": [{\"a\": true}]}",
+        "{\"instances\": [{\"a\": \"caf\xc3\xa9\"}]}",
+        "{\"instances\": [{\"a\": \"x\\n\"}]}",
+        "{\"instances\": [{\"a\": 1}, {\"b\": 2}]}",
+        "{\"instances\": [{\"a\": 1, \"a\": 2}]}",
+        "{\"instances\": [{\"a\": 99999999999999999999}]}",
+        "{\"instances\": []} ",
+    };
+    for (const char* b : bad) {
+      void* jh = rectpu_json_parse(b, static_cast<int64_t>(strlen(b)));
+      if (strcmp(b, "{\"instances\": []} ") != 0)  // trailing ws is valid-ish
+        (void)rectpu_json_error(jh);               // just must not crash
+      rectpu_json_free(jh);
+    }
+    for (size_t cut = 0; cut < body.size(); cut += 7) {
+      void* jh = rectpu_json_parse(body.data(), static_cast<int64_t>(cut));
+      (void)rectpu_json_error(jh);
+      rectpu_json_free(jh);
+    }
+  }
+
   std::puts("loader_test ok");
   return 0;
 }

@@ -39,15 +39,20 @@ from rectpu.models.base import (
 class DLRMModel:
     name = "dlrm"
     # arch kwargs recorded in exports (serve/export.model_toggle_kwargs)
-    EXPORT_KWARGS = ("bot_hidden_units", "arch_interaction_itself")
+    EXPORT_KWARGS = ("bot_hidden_units", "arch_interaction_itself",
+                     "interaction_impl")
 
     def __init__(self, cfg: TowerConfig, bot_hidden_units=(64,),
-                 arch_interaction_itself: bool = False):
+                 arch_interaction_itself: bool = False,
+                 interaction_impl: str = "auto"):
         if cfg.num_fields + cfg.num_numeric == 0:
             raise ValueError("DLRM needs at least one sparse or dense feature")
+        if interaction_impl not in ("auto", "xla", "pallas", "xla-autodiff"):
+            raise ValueError(f"unknown interaction_impl: {interaction_impl}")
         self.cfg = cfg
         self.bot_hidden_units = tuple(bot_hidden_units)
         self.arch_interaction_itself = bool(arch_interaction_itself)
+        self.interaction_impl = interaction_impl
 
     @property
     def _n_vectors(self) -> int:
@@ -94,8 +99,73 @@ class DLRMModel:
         return z.reshape(z.shape[0], n * n)[:, flat_idx]
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):
+        cfg = self.cfg
+        if (
+            cfg.flat_layout
+            and cfg.num_fields > 0
+            and (lookup_fn is None or getattr(lookup_fn, "flat_variant", None))
+        ):
+            # lane-packed lookup: the flat [B, F*K] machinery (blockdiag MXU
+            # forward + merged mxu-scatter backward — the DeepFM headline
+            # path) does the table work; the interaction block is the ONLY
+            # consumer that needs [B, F, K], so exactly one reshape relayout
+            # is paid right before the pairwise-dot matmul. Numeric features
+            # are unaffected (they ride the bottom MLP, not the lookup).
+            from rectpu.ops.embedding import lookup_flat
+
+            fs = cfg.feature_set
+            field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+            flat_fn = getattr(lookup_fn, "flat_variant", None)
+            if flat_fn is not None:
+                flat, _ = flat_fn(params["emb"], batch["cat_ids"], has_lin=False)
+            else:
+                flat, _ = lookup_flat(
+                    params["emb"], batch["cat_ids"], field_info,
+                    cfg.embedding_size,
+                    small_threshold=cfg.split_threshold,
+                    gather_dtype=cfg.jnp_compute_dtype,
+                    grad_dtype=cfg.jnp_table_grad_dtype,
+                    scatter_impl=cfg.scatter_impl,
+                    dense_threshold=cfg.mxu_dense_threshold,
+                )
+            return self._apply_from_flat(params, flat, batch, train=train,
+                                         rng=rng)
         emb = lookup_fields(params["emb"], batch, self.cfg, lookup_fn)  # [B, F, K]
         return self.apply_looked(params, emb, batch, train=train, rng=rng)
+
+    def _apply_from_flat(self, params, flat, batch, train=False, rng=None):
+        """Tower math on the lane-packed [B, F*K] activation: interactions
+        straight off the flat layout (ops/interaction.interact_flat — the
+        fused Pallas pair-dot kernel on TPU), no [B, F, K] tensor, no z.
+        A numeric bottom-MLP vector is appended as one more K-wide block."""
+        from rectpu.ops.interaction import interact_flat
+
+        cfg = self.cfg
+        n_vec = cfg.num_fields
+        top_parts = []
+        if cfg.num_numeric:
+            bot_rng = None if rng is None else jax.random.fold_in(rng, 1)
+            d0 = apply_mlp(
+                params["bot"], batch["num_vals"], cfg.activation, 0.0, train,
+                bot_rng, compute_dtype=cfg.jnp_compute_dtype,
+            )
+            d0 = get_activation(cfg.activation)(d0)
+            top_parts.append(d0)
+            flat = jnp.concatenate([flat, d0.astype(flat.dtype)], axis=1)
+            n_vec += 1
+        top_parts.append(
+            interact_flat(flat, n_vec, cfg.embedding_size,
+                          itself=self.arch_interaction_itself,
+                          impl=self.interaction_impl)
+        )
+        top_in = jnp.concatenate(top_parts, axis=1) if len(top_parts) > 1 \
+            else top_parts[0]
+        top_rng = None if rng is None else jax.random.fold_in(rng, 2)
+        logit = apply_mlp(
+            params["top"], top_in, cfg.activation, cfg.dropout, train, top_rng,
+            compute_dtype=cfg.jnp_compute_dtype, dropout_impl=cfg.dropout_impl,
+        )
+        return logit[:, 0]
 
     def apply_looked(self, params, emb, batch, train: bool = False, rng=None):
         """Tower math from pre-gathered [B, F, K] rows (the sparse fast-step

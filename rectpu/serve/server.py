@@ -38,6 +38,28 @@ def instances_to_columns(instances: list[dict]) -> dict:
     return columns
 
 
+def parse_request_columns(raw: bytes) -> tuple[dict, int]:
+    """Request body bytes -> (columns dict, n_rows).
+
+    Fast path: the native JSON-column parser (rectpu/io/native/
+    json_columns.cc) builds the arrays with zero per-value Python objects —
+    the json.loads + list->np.asarray conversion was the measured serving
+    encode floor (RESULTS.md). Any body outside the fast shape (or an
+    unbuilt native lib) falls back to the json.loads path, which defines
+    behavior — including the error semantics for malformed bodies."""
+    try:
+        from rectpu.io import native
+
+        parsed = native.parse_json_instances(raw)
+        if parsed is not None:
+            return parsed
+    except Exception:
+        pass  # behavior is defined by the fallback below
+    body = json.loads(raw or b"{}")
+    instances = body["instances"]
+    return instances_to_columns(instances), len(instances)
+
+
 class UnknownVersion(KeyError):
     """Requested model version does not exist (maps to HTTP 404)."""
 
@@ -205,17 +227,16 @@ def make_handler(served, versions: "ModelVersions | None" = None):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(length) or b"{}")
-                instances = body["instances"]
+                columns, n_rows = parse_request_columns(self.rfile.read(length))
                 target = versions.get(version) if versions is not None else served
-                out = target.predict(instances_to_columns(instances))
+                out = target.predict(columns)
                 predictions = [
                     {
                         "probabilities": float(out["probabilities"][i]),
                         "logits": float(out["logits"][i]),
                         "class_id": int(out["class_id"][i]),
                     }
-                    for i in range(len(instances))
+                    for i in range(n_rows)
                 ]
                 payload = json.dumps({"predictions": predictions}).encode()
                 self.send_response(200)

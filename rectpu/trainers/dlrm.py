@@ -16,14 +16,6 @@ from rectpu.train.optimizers import get_optimizer
 
 
 def train_and_evaluate(args):
-    if args.flat_layout or args.scatter_impl != "xla":
-        # the shared deep-args parser advertises these, but DLRM's
-        # interaction block consumes [B, F, K] — silently ignoring the flags
-        # would misreport what the run actually did
-        raise ValueError(
-            "DLRM does not support --flat-layout/--scatter-impl mxu: the "
-            "pairwise-dot interaction block consumes the [B, F, K] tensor"
-        )
     cfg = TowerConfig(
         feature_set=ml_100k_feature_set(numeric=tuple(args.numeric_columns or ())),
         embedding_size=args.embedding_size,
@@ -34,11 +26,15 @@ def train_and_evaluate(args):
         compute_dtype=args.compute_dtype,
         table_grad_dtype=args.table_grad_dtype,
         table_dtype=args.table_dtype,
+        flat_layout=args.flat_layout,
+        scatter_impl=args.scatter_impl,
+        table_padding=2048 if args.scatter_impl == "mxu" else 128,
     )
     model = DLRMModel(
         cfg,
         bot_hidden_units=tuple(args.bot_hidden_units),
         arch_interaction_itself=args.arch_interaction_itself,
+        interaction_impl=args.interaction_impl,
     )
     optimizer = get_optimizer(args.optimizer, args.learning_rate)
     return run(args, model, optimizer)
@@ -54,6 +50,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--arch-interaction-itself", action="store_true",
                         help="include self-interactions (the diagonal) in the "
                              "pairwise-dot block")
+    parser.add_argument("--interaction-impl", default="auto",
+                        choices=["auto", "xla", "pallas", "xla-autodiff"],
+                        help="pairwise-dot implementation (ops/interaction.py): "
+                             "auto/xla = batched-matmul forward + the fast "
+                             "gather-C backward; pallas = fused VPU pair-dot "
+                             "forward; xla-autodiff = plain autodiff oracle "
+                             "(default: %(default)s)")
     parser.add_argument("--optimizer", default="Adam",
                         choices=["Adagrad", "Adam", "Ftrl", "RMSProp", "SGD"],
                         help="optimizer (default: %(default)s)")

@@ -112,21 +112,59 @@ def test_trainer_learns_exports_and_serves(synthetic_dir, tmp_path):
     np.testing.assert_allclose(a["probabilities"], b["probabilities"], atol=0.03)
 
 
-def test_trainer_rejects_flat_layout_flags(synthetic_dir, tmp_path):
-    """The shared deep-args parser advertises --flat-layout/--scatter-impl,
-    but DLRM cannot honor them — the trainer must refuse, not silently
-    ignore."""
+@pytest.mark.parametrize("scatter_impl", ["xla", "mxu"])
+def test_flat_layout_matches_3d_path(scatter_impl, rng):
+    """flat_layout lookup reshaped to [B, F, K] == the 3D lookup: logits AND
+    full grads (the DeepFM headline table machinery feeding the pairwise-dot
+    interaction block)."""
+    from rectpu.train.metrics import sigmoid_xent
+
+    fs = ml_100k_feature_set(numeric=("age",))
+    pad = 2048 if scatter_impl == "mxu" else 128
+    base = dict(feature_set=fs, embedding_size=8, hidden_units=(16,),
+                table_padding=pad)
+    m3 = DLRMModel(TowerConfig(**base), bot_hidden_units=(6,))
+    mf = DLRMModel(TowerConfig(**base, flat_layout=True,
+                               scatter_impl=scatter_impl),
+                   bot_hidden_units=(6,))
+    params = m3.init(jax.random.PRNGKey(0))
+    rng_np = rng
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [fs.offsets[f] + rng_np.integers(0, fs.field_sizes[f], size=64)
+             for f in range(fs.num_fields)], axis=1).astype(np.int32)),
+        "num_vals": jnp.asarray(rng_np.normal(size=(64, 1)).astype(np.float32)),
+    }
+    labels = jnp.asarray((rng_np.random(64) < 0.3).astype(np.float32))
+
+    def loss(model, p):
+        return sigmoid_xent(model.apply(p, batch), labels).mean()
+
+    l3, g3 = jax.value_and_grad(lambda p: loss(m3, p))(params)
+    lf, gf = jax.value_and_grad(lambda p: loss(mf, p))(params)
+    assert np.isclose(float(l3), float(lf), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        jax.device_get(g3), jax.device_get(gf),
+    )
+
+
+def test_trainer_accepts_flat_layout(synthetic_dir, tmp_path):
+    """--flat-layout / --scatter-impl mxu now train DLRM end-to-end."""
     import importlib
 
     mod = importlib.import_module("rectpu.trainers.dlrm")
     args = mod.build_parser().parse_args([
         "--train-csv", str(synthetic_dir["train"]),
         "--test-csv", str(synthetic_dir["test"]),
-        "--job-dir", str(tmp_path / "x"), "--train-steps", "1",
-        "--flat-layout",
+        "--job-dir", str(tmp_path / "x"), "--train-steps", "200",
+        "--batch-size", "64", "--steps-per-loop", "100",
+        "--save-checkpoints-steps", "1000000",
+        "--flat-layout", "--scatter-impl", "mxu",
     ])
-    with pytest.raises(ValueError, match="flat-layout"):
-        mod.train_and_evaluate(args)
+    metrics = mod.train_and_evaluate(args)
+    assert np.isfinite(metrics["average_loss"])
 
 
 def test_export_kwargs_roundtrip(tmp_path):

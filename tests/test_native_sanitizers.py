@@ -12,7 +12,7 @@ import pytest
 
 NATIVE = Path(__file__).parent.parent / "rectpu" / "io" / "native"
 SOURCES = [str(NATIVE / "farmhash.cc"), str(NATIVE / "csv_loader.cc"),
-           str(NATIVE / "loader_test_main.cc")]
+           str(NATIVE / "json_columns.cc"), str(NATIVE / "loader_test_main.cc")]
 
 
 def _build_and_run(tmp_path, sanitize: str):

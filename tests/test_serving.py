@@ -374,3 +374,95 @@ def test_encode_request_nonascii_and_leading_zero_strings():
     assert np.array_equal(
         zc, hash_bucket(np.array(["03364", "94043"], dtype=object), 1000)
     )
+
+
+def test_native_json_parse_matches_python_fallback():
+    """The native request parser (io/native/json_columns.cc) must yield the
+    SAME encoded batch as the json.loads + instances_to_columns path for
+    every body it accepts — and bail (None) on everything else so the Python
+    path defines behavior."""
+    import json
+
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.io import native
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import ServingModel
+    from rectpu.serve.server import instances_to_columns
+
+    if not native.available():
+        _pytest.skip("native lib not built")
+
+    fs = ml_100k_feature_set()
+    model = DeepFMModel(TowerConfig(feature_set=fs))
+    sm = ServingModel(model, model.init(jax.random.PRNGKey(0)), fs)
+
+    instances = [
+        {"user_id": 1, "item_id": 3, "age": 25, "gender": "F",
+         "occupation": "writer", "zipcode": "03364", "release_year": 1990,
+         "action": 1},
+        {"user_id": 2, "item_id": 4, "age": 60, "gender": "M",
+         "occupation": "retired", "zipcode": "94043", "release_year": 1955,
+         "action": 0},
+    ]
+    raw = json.dumps({"instances": instances}).encode()
+    parsed = native.parse_json_instances(raw)
+    assert parsed is not None
+    cols, n = parsed
+    assert n == 2
+    b_native = sm.encode_request(dict(cols))
+    b_python = sm.encode_request(instances_to_columns(instances))
+    np.testing.assert_array_equal(b_native["cat_ids"], b_python["cat_ids"])
+    np.testing.assert_array_equal(b_native["num_vals"], b_python["num_vals"])
+
+    # float values land as float64, matching np.asarray of the json floats
+    raw_f = json.dumps({"instances": [{"age": 1.5}, {"age": 2}]}).encode()
+    cols_f, _ = native.parse_json_instances(raw_f)
+    np.testing.assert_array_equal(cols_f["age"],
+                                  np.asarray([1.5, 2.0]))
+    assert cols_f["age"].dtype == np.float64
+
+    # everything outside the fast shape bails to the Python path
+    for bad in [
+        b"",                                        # empty body
+        b"not json",
+        b'{"x": 1}',                                # no instances key
+        b'{"instances": [{"a": 1}, {"b": 2}]}',     # inconsistent keys
+        b'{"instances": [{"a": [1]}]}',             # nested value
+        b'{"instances": [{"a": true}]}',            # literal
+        '{"instances": [{"a": "café"}]}'.encode(),  # non-ASCII
+        b'{"instances": [{"a": "x\\n"}]}',          # escape
+        b'{"instances": [{"a": 1}], "y": 2}',       # extra top-level key
+    ]:
+        assert native.parse_json_instances(bad) is None, bad
+
+
+def test_parse_request_columns_end_to_end_equality():
+    """parse_request_columns (native or fallback) feeds predict identically."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.serve.export import ServingModel
+    from rectpu.serve.server import instances_to_columns, parse_request_columns
+
+    fs = ml_100k_feature_set()
+    model = DeepFMModel(TowerConfig(feature_set=fs))
+    sm = ServingModel(model, model.init(jax.random.PRNGKey(0)), fs)
+    instances = [
+        {"user_id": 7, "item_id": 9, "age": 31, "gender": "M",
+         "occupation": "artist", "zipcode": "10001", "release_year": 1999},
+    ]
+    raw = json.dumps({"instances": instances}).encode()
+    cols, n = parse_request_columns(raw)
+    assert n == 1
+    a = sm.predict(dict(cols))
+    b = sm.predict(instances_to_columns(instances))
+    np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                               rtol=1e-6, atol=1e-7)
