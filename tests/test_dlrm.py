@@ -237,3 +237,53 @@ def test_sharded_dlrm_step_matches_single_device(rng):
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
         jax.device_get(p_ref), jax.device_get(p_out),
     )
+
+
+@pytest.mark.parametrize("ep_mode", ["2d", "dedup"])
+def test_sharded_flat_dlrm_matches_single_device(ep_mode, rng):
+    """flat DLRM (lane-packed EP exchange + fast interaction backward)
+    under a (2, 4) mesh == the single-device flat step."""
+    from rectpu.parallel import ParallelPlan
+    from rectpu.train.metrics import sigmoid_xent
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16,),
+                      table_padding=16, flat_layout=True)
+    model = DLRMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = model.default_optimizer()
+    opt_state = opt.init(params)
+    batch = {
+        "cat_ids": np.stack(
+            [fs.offsets[f] + rng.integers(0, fs.field_sizes[f], size=32)
+             for f in range(fs.num_fields)], axis=1).astype(np.int32),
+        "num_vals": np.zeros((32, 0), np.float32),
+        "labels": (rng.random(32) < 0.3).astype(np.float32),
+    }
+
+    def step(params, opt_state, batch, lookup_fn):
+        def loss_fn(p):
+            logits = model.apply(p, batch, train=False, lookup_fn=lookup_fn)
+            return sigmoid_xent(logits, batch["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    p_ref, _, loss_ref = jax.jit(lambda p, s, b: step(p, s, b, None))(
+        params, opt_state, batch_j)
+
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets,
+                               ep_mode=ep_mode)
+    assert getattr(plan.lookup_fn, "flat_variant", None) is not None
+    p_out, _, loss_sh = jax.jit(lambda p, s, b: step(p, s, b, plan.lookup_fn))(
+        plan.shard_params(params), plan.shard_params(opt_state),
+        plan.shard_batch(batch))
+
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        jax.device_get(p_ref), jax.device_get(p_out),
+    )
