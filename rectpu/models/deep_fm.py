@@ -33,6 +33,7 @@ from rectpu.ops.fm import fm_cross
 
 class DeepFMModel:
     name = "deep_fm"
+    EXPORT_KWARGS = ("use_linear", "use_mf", "use_dnn", "fm_order")
 
     def __init__(
         self,
@@ -40,6 +41,7 @@ class DeepFMModel:
         use_linear: bool = True,
         use_mf: bool = True,
         use_dnn: bool = True,
+        fm_order: int = 2,
     ):
         if cfg.num_fields + cfg.num_numeric == 0:
             raise ValueError(
@@ -48,10 +50,16 @@ class DeepFMModel:
             )
         if not (use_linear or use_mf or use_dnn):
             raise ValueError("At least 1 of linear, mf or dnn component must be used.")
+        if fm_order not in (2, 3):
+            raise ValueError(f"fm_order must be 2 or 3, got {fm_order}")
         self.cfg = cfg
         self.use_linear = use_linear
         self.use_mf = use_mf
         self.use_dnn = use_dnn
+        # 3 adds the order-3 elementary-symmetric term over the SAME shared
+        # embeddings (ops/fm.fm_cross3_*; beyond-reference, PAPERS.md tensorFM
+        # lead) — default 2 is exact reference parity (ref deep_fm.py:81-90).
+        self.fm_order = fm_order
 
     @property
     def packed(self) -> bool:
@@ -152,6 +160,10 @@ class DeepFMModel:
         logits = lin + params["linear"]["b"]
         if self.use_mf:
             logits = logits + fm_cross_flat(emb_flat, cfg.num_fields, k)
+            if self.fm_order >= 3:
+                from rectpu.ops.fm import fm_cross3_flat
+
+                logits = logits + fm_cross3_flat(emb_flat, cfg.num_fields, k)
         if self.use_dnn:
             dnn_logit = apply_mlp(
                 params["mlp"], emb_flat, cfg.activation, cfg.dropout, train, rng,
@@ -198,6 +210,10 @@ class DeepFMModel:
 
         if self.use_mf:
             logits = logits + fm_cross(emb, impl=cfg.fm_impl).astype(jnp.float32)
+            if self.fm_order >= 3:
+                from rectpu.ops.fm import fm_cross3_xla
+
+                logits = logits + fm_cross3_xla(emb)
 
         if self.use_dnn:
             flat = emb.reshape(emb.shape[0], -1)

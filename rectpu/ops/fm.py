@@ -372,3 +372,74 @@ def fm_cross(v: jax.Array, impl: str = "auto") -> jax.Array:
     if impl == "auto":
         impl = _AUTO_DEFAULT["tpu" if _on_tpu() else "other"]
     return _IMPLS[impl](v)
+
+
+# --- Third-order FM (HOFM order 3; the PAPERS.md "tensorFM" lead) ----------
+#
+# The reference stops at second order (/root/reference/trainers/deep_fm.py:81-90).
+# tensorFM (arXiv:2602.15229) motivates low-rank CROSS-ORDER interactions; the
+# TPU-native form here is the elementary-symmetric-polynomial identity over
+# the SHARED embedding lanes (Newton's identities), which keeps the op at
+# O(B*F*K) elementwise work + the same stacked-identity MXU field reduction
+# the order-2 flat op uses — no [B, F, F, F] tensor, no extra table:
+#
+#     e3_k = (p1^3 - 3*p1*p2 + 2*p3) / 6,   p_m[b,k] = sum_f v[b,f,k]^m
+#     logit3[b] = sum_k e3_k
+#
+# Backward is closed-form: d e3 / d v_f = e2 - v_f*p1 + v_f^2 (the order-2
+# elementary symmetric over the OTHER fields), so the VJP needs only the
+# [B, K] power sums re-broadcast by the transpose matmul — same traffic
+# shape as the order-2 backward.
+
+
+def fm_cross3_xla(v: jax.Array) -> jax.Array:
+    """Order-3 FM logit from field embeddings v [B, F, K] -> [B] fp32."""
+    v32 = v.astype(jnp.float32)
+    p1 = jnp.sum(v32, axis=1)
+    p2 = jnp.sum(jnp.square(v32), axis=1)
+    p3 = jnp.sum(v32 * jnp.square(v32), axis=1)
+    e3 = (p1 * jnp.square(p1) - 3.0 * p1 * p2 + 2.0 * p3) / 6.0
+    return jnp.sum(e3, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fm_cross3_flat(v2: jax.Array, f: int, k: int) -> jax.Array:
+    """Order-3 FM on the LANE-PACKED layout: v2 [B, F*K] -> [B] fp32.
+
+    Power sums p1/p2/p3 are three MXU matmuls of fp32 elementwise powers
+    against the [F*K, K] stacked-identity matrix (XLA fuses the power chains
+    into the matmul reads, so v2 streams from HBM once); combination and the
+    lane reduction are VPU. Backward re-broadcasts e2 and p1 via the
+    transpose matmul and is exact (closed form, no recomputation of powers).
+    """
+    out, _, _ = _fm3_flat_fwd_impl(v2, f, k)
+    return out
+
+
+def _fm3_flat_fwd_impl(v2, f, k):
+    a = _field_sum_matrix(f, k, jnp.float32)
+    v32 = v2.astype(jnp.float32) if v2.dtype != jnp.float32 else v2
+    p1 = jnp.dot(v32, a, preferred_element_type=jnp.float32)            # [B, K]
+    p2 = jnp.dot(jnp.square(v32), a, preferred_element_type=jnp.float32)
+    p3 = jnp.dot(v32 * jnp.square(v32), a, preferred_element_type=jnp.float32)
+    e3 = (p1 * jnp.square(p1) - 3.0 * p1 * p2 + 2.0 * p3) / 6.0
+    e2 = 0.5 * (jnp.square(p1) - p2)                                    # [B, K]
+    return jnp.sum(e3, axis=-1), p1, e2
+
+
+def _fm3_flat_fwd(v2, f, k):
+    out, p1, e2 = _fm3_flat_fwd_impl(v2, f, k)
+    return out, (v2, p1, e2)
+
+
+def _fm3_flat_bwd(f, k, res, g):
+    v2, p1, e2 = res
+    at = _field_sum_matrix(f, k, jnp.float32).T
+    e2_t = jnp.dot(e2, at, preferred_element_type=jnp.float32)          # [B, F*K]
+    p1_t = jnp.dot(p1, at, preferred_element_type=jnp.float32)
+    v32 = v2.astype(jnp.float32) if v2.dtype != jnp.float32 else v2
+    dv2 = g[:, None] * (e2_t - v32 * p1_t + jnp.square(v32))
+    return (dv2.astype(v2.dtype),)
+
+
+fm_cross3_flat.defvjp(_fm3_flat_fwd, _fm3_flat_bwd)

@@ -41,6 +41,7 @@ def train_and_evaluate(args):
         use_linear=not args.exclude_linear,
         use_mf=not args.exclude_mf,
         use_dnn=not args.exclude_dnn,
+        fm_order=args.fm_order,
     )
     slot_dtype = None
     if args.optimizer_slot_dtype:
@@ -80,6 +81,11 @@ def build_parser() -> ArgumentParser:
                              "'bfloat16': both plain bf16 (measured -0.02 AUC at "
                              "reference config — v increments underflow). "
                              "default: float32")
+    parser.add_argument("--fm-order", type=int, default=2, choices=[2, 3],
+                        help="highest FM interaction order: 2 = reference parity; "
+                             "3 adds the third-order elementary-symmetric term over "
+                             "the shared embeddings (beyond-reference; "
+                             "default: %(default)s)")
     parser.add_argument("--numeric-columns", nargs="*", default=[],
                         help="numeric feature columns fed via the value*vector embedding trick")
     parser.add_argument("--packed-linear", action="store_true",
