@@ -99,12 +99,52 @@ def run_sparse(steps=100, batch=8192):
     dt = time.time() - t0
     print(f"sparse 6M-row: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
+def run_sparse_ep(steps=100, batch=8192):
+    """The SHARDED sparse code path on one chip (round-3 VERDICT item 1's
+    single-chip HW number): packed table + the 2d EP exchange + the
+    parallel/sparse_ep shard_map update, on a degenerate (1,1) mesh — the
+    collectives are no-ops but the program structure (double dedup, masked
+    routing, shard-level lazy Adam) is exactly what runs multi-chip."""
+    from rectpu.parallel import ParallelPlan
+    from rectpu.parallel.embedding_ep import make_ep_lookup_2d
+    from rectpu.train.fast_step import make_sparse_step
+    fs = big_feature_set()
+    cfg = TowerConfig(
+        feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
+        compute_dtype="bfloat16", table_padding=2048, packed_linear=True,
+    )
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    plan = ParallelPlan.create(1, 1, table_rows=cfg.padded_buckets)
+    plan.ep = True
+    plan.ep_mode = "2d"
+    plan.lookup_fn = make_ep_lookup_2d(plan.mesh)
+    init_opt, step_fn = make_sparse_step(model, learning_rate=0.001, plan=plan)
+    opt_state = init_opt(params)
+    fj = jax.jit(step_fn, donate_argnums=(0, 1))
+    staged = batches(fs, 4, batch, seed=2)
+    rng = jax.random.PRNGKey(1)
+    si = lambda i: jnp.asarray(i, jnp.int32)
+    p, o, loss = fj(params, opt_state, staged[0], rng, si(0))
+    _ = float(loss)  # real fetch: block_until_ready can lie through the tunnel
+    for i in range(5):
+        p, o, loss = fj(p, o, staged[i % 4], rng, si(i))
+    _ = float(loss)
+    t0 = time.time()
+    for i in range(steps):
+        p, o, loss = fj(p, o, staged[i % 4], rng, si(i))
+    _ = float(loss)
+    dt = time.time() - t0
+    print(f"sparse-EP(1x1) 6M-row: {1e3*dt/steps:.3f} ms/step  "
+          f"{steps*batch/dt:,.0f} ex/s")
+
 import bench as _bench
 def use_scaled():
     global big_feature_set
     big_feature_set = _bench.scaled_feature_set
 
+_RUNNERS = {"dense": run_dense, "sparse": run_sparse, "sparse-ep": run_sparse_ep}
 for a in sys.argv[1:] or ["dense", "sparse"]:
     if a == "scaled":
         use_scaled(); continue
-    (run_dense if a == "dense" else run_sparse)()
+    _RUNNERS[a]()

@@ -53,10 +53,17 @@ def step_ms(fm_order: int, staged, repeats=5) -> float:
 
     fj = jax.jit(train, donate_argnums=(0,))
     x0 = (params, opt.init(params), jnp.asarray(0, jnp.int32))
-    ms = min(
-        chained_slope_ms(lambda c, i=i: fj(c, staged[i % len(staged)]), x0)
-        for i in range(repeats)
-    )
+    # rotate the staged batches per DISPATCHED step (host-side counter, the
+    # same feeding pattern as bench.py) — a fixed batch per run flatters the
+    # step with cache-warm gathers on identical ids (round-2 ADVICE)
+    counter = {"i": 0}
+
+    def step(c):
+        b = staged[counter["i"] % len(staged)]
+        counter["i"] += 1
+        return fj(c, b)
+
+    ms = min(chained_slope_ms(step, x0) for _ in range(repeats))
     log(f"fm_order={fm_order}: {ms:.3f} ms/step")
     return ms
 

@@ -38,20 +38,44 @@ def main():
         vocab_rows=int(fs.total_buckets),
         field_info=(offsets, sizes),
     )
-    log({k: f"{1e3 * v:.3f} ms" for k, v in sorted(result["timings_s"].items())})
+    log({k: (f"{1e3 * v:.3f} ms" if isinstance(v, float) else v)
+         for k, v in sorted(result["timings_s"].items())})
     # (a) chained timings must be physically sane: the round-1 unchained bug
     # reported impossible numbers (e.g. 0.02 ms for a 54 MB gather). Every
-    # fwd+bwd pair at these shapes costs >= 0.5 ms on this chip.
-    sane = all(t > 5e-4 for t in result["timings_s"].values())
+    # fwd+bwd pair at these shapes costs >= 0.5 ms on this chip... except the
+    # flat FM/interaction forwards, which really are ~0.1-0.75 ms — bound
+    # those at the 50 us fixed-kernel floor instead.
+    sane = all(
+        t > (5e-5 if k.startswith(("fm_flat/", "interact_flat/")) else 5e-4)
+        for k, t in result["timings_s"].items() if isinstance(t, float)
+    )
     # (b) FM must pick the RESULTS.md winner (XLA fusion at [8192,26,64]).
     # (c) lookup: take and split measure within ~11% of each other at this
     #     shape (2026-08-19: take 6.56 vs split 7.30 ms, fwd+table-grad);
     #     either is a defensible pick — production uses the flat layout,
-    #     which is a different entry point (lookup_flat) not dispatched here.
+    #     which is round 3's section (d) below.
     lookup_ok = result["lookup"] in ("take", "split")
-    ok = sane and result["fm"] == "xla" and lookup_ok
+    # (d) round-3: the PRODUCTION flat path must reproduce every RESULTS.md
+    #     winner from a cold start — mxu scatter for the flat backward,
+    #     XLA for the flat FM chain, XLA batched-matmul for the DLRM
+    #     interaction; the tile sweep must land on the hand-pinned
+    #     tr=2048/cap=512 (RESULTS.md: smaller AND larger tiles measured
+    #     worse). Micro-kernel timings bounce +-50-100% under ambient tunnel
+    #     load (CLAUDE.md) — accept the tile pick if tr matches (the capacity
+    #     axis measures within noise between 256/512 some days).
+    flat_ok = (
+        result.get("flat_scatter") == "mxu"
+        and result.get("fm_flat") == "xla"
+        and result.get("interact") == "xla"
+    )
+    tile_pick = result["timings_s"].get("scatter_tile/pick")
+    tile_ok = tile_pick is not None and tile_pick[0] == 2048
+    ok = sane and result["fm"] == "xla" and lookup_ok and flat_ok and tile_ok
     log(f"sane={sane} fm={result['fm']} (expect xla) lookup={result['lookup']} "
-        f"(expect take|split) -> {'OK' if ok else 'MISMATCH'}")
+        f"(expect take|split) flat_scatter={result.get('flat_scatter')} "
+        f"(expect mxu) fm_flat={result.get('fm_flat')} (expect xla) "
+        f"interact={result.get('interact')} (expect xla) tile={tile_pick} "
+        f"(expect tr=2048) -> {'OK' if ok else 'MISMATCH'}")
     return 0 if ok else 1
 
 

@@ -187,11 +187,13 @@ def build_parser() -> ArgumentParser:
 
     local_parser = subparsers.add_parser("local")
     local_parser.add_argument("--url", default=DEFAULT_URL,
-                              help="url of MovieLens 100k data (default: %(default)s)")
+                              help="where to fetch the MovieLens 100k archive "
+                                   "(default: %(default)s)")
     local_parser.add_argument("--dest", default="data",
-                              help="destination directory (default: %(default)s)")
+                              help="directory the extracted + processed CSVs "
+                                   "land in (default: %(default)s)")
     local_parser.add_argument("--log-path", default="main.log",
-                              help="path of log file (default: %(default)s)")
+                              help="rotating debug-log file (default: %(default)s)")
     local_parser.add_argument("--synthetic", action="store_true",
                               help="generate schema-identical synthetic data instead of downloading")
     local_parser.add_argument("--synthetic-rows", type=int, default=90570,
@@ -202,11 +204,14 @@ def build_parser() -> ArgumentParser:
     gcp_parser.add_argument("--url", default=DEFAULT_URL)
     gcp_parser.add_argument("--dest", default="data")
     gcp_parser.add_argument("--dataset", default="ml_100k",
-                            help="dataset name to save datatables")
+                            help="BigQuery dataset that receives the raw + "
+                                 "enriched tables")
     gcp_parser.add_argument("--gcs-bucket", default="recommender-tensorflow",
-                            help="google cloud storage bucket for processed files")
+                            help="GCS bucket the processed CSV extracts are "
+                                 "written to")
     gcp_parser.add_argument("--credentials", default="credentials.json",
-                            help="json file containing google cloud credentials")
+                            help="service-account key file used to build the "
+                                 "BigQuery client")
     gcp_parser.add_argument("--log-path", default="main.log")
     gcp_parser.set_defaults(main=gcp_main)
     return parser

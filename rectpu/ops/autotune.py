@@ -42,12 +42,108 @@ def _time(fn, x0, *rest, iters=(20, 60)):
     return chained_slope_s(jax.jit(step), x0, iters)
 
 
+def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
+    """Tune the PRODUCTION flat path (round-3 VERDICT item 3): the flagship
+    config runs lookup_flat + scatter_rows + fm_cross_flat_dispatch +
+    interact_flat — a different entry point from the 3D lookups the original
+    autotuner timed. Times each interchangeable impl at the working shapes
+    and pins the winners through the set_*_auto hooks."""
+    from rectpu.ops import interaction as int_ops
+    from rectpu.ops.scatter_rows import scatter_rows_dense, set_auto_tile
+
+    on_tpu = emb_ops._on_tpu()
+    rng = np.random.default_rng(1)
+    offsets, sizes = field_info
+    table = jnp.asarray(
+        rng.normal(size=(vocab_rows, k + 1)).astype(np.float32)
+    )
+    ids = jnp.asarray(np.stack(
+        [offsets[f] + rng.integers(0, sizes[f], size=batch)
+         for f in range(num_fields)], axis=1).astype(np.int32))
+
+    # 1. lookup_flat fwd+bwd, xla serial scatter vs mxu one-hot rebuild
+    def flat_grad(impl):
+        def obj(t):
+            emb, lin = emb_ops.lookup_flat(
+                t, ids, field_info, k, scatter_impl=impl
+            )
+            return jnp.sum(emb.astype(jnp.float32)) + jnp.sum(lin)
+        return jax.grad(obj)
+
+    for impl in ("xla", "mxu"):
+        results[f"lookup_flat/{impl}"] = _time(flat_grad(impl), table)
+    best_scatter = min(("xla", "mxu"), key=lambda n: results[f"lookup_flat/{n}"])
+    emb_ops.set_flat_scatter_auto_impl(best_scatter, on_tpu=on_tpu)
+
+    # 2. scatter_rows tile geometry sweep at the flat backward's actual
+    #    update-stream shape (huge-field rows + the small-field block rows)
+    if best_scatter == "mxu":
+        dense_threshold = 16384
+        huge = [f for f in range(num_fields) if sizes[f] > dense_threshold]
+        small_ids = [np.arange(offsets[f], offsets[f] + sizes[f], dtype=np.int32)
+                     for f in range(num_fields) if sizes[f] <= 4096]
+        parts = [offsets[f] + rng.integers(0, sizes[f], size=batch).astype(np.int32)
+                 for f in huge] + small_ids
+        if parts:
+            sc_ids = jnp.asarray(np.concatenate(parts))
+            upd = jnp.asarray(
+                rng.normal(size=(sc_ids.shape[0], k + 1)).astype(np.float32))
+            best_tile, best_t = None, float("inf")
+            for tr in (1024, 2048, 4096):
+                for cap in (256, 512, 1024):
+                    if cap > tr:
+                        continue
+                    t = _time(
+                        lambda u, tr=tr, cap=cap: scatter_rows_dense(
+                            sc_ids, u, vocab_rows, tile_rows=tr, capacity=cap),
+                        upd,
+                    )
+                    results[f"scatter_tile/tr{tr}_cap{cap}"] = t
+                    if t < best_t:
+                        best_tile, best_t = (tr, cap), t
+            set_auto_tile(*best_tile)
+            results["scatter_tile/pick"] = best_tile
+
+    # 3. flat FM: XLA fusion vs the lane-packed Pallas kernel, at the
+    #    production dtype (bf16)
+    v2 = jnp.asarray(
+        rng.normal(size=(batch, num_fields * k)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    fm_flat_impls = {
+        "xla": lambda x: fm_ops.fm_cross_flat(x, num_fields, k),
+        "pallas": lambda x: fm_ops.fm_cross_flat_pallas(x, num_fields, k),
+    }
+    for name, fn in fm_flat_impls.items():
+        t = _time(fn, v2)
+        t += _time(jax.grad(lambda x, fn=fn: jnp.sum(fn(x).astype(jnp.float32))), v2)
+        results[f"fm_flat/{name}"] = t
+    best_fm_flat = min(fm_flat_impls, key=lambda n: results[f"fm_flat/{n}"])
+    fm_ops.set_flat_auto_impl(best_fm_flat, on_tpu=on_tpu)
+
+    # 4. DLRM pairwise interaction from the flat activations
+    int_impls = {
+        "xla": lambda x: int_ops.interact_flat(x, num_fields, k, impl="xla"),
+        "pallas": lambda x: int_ops.interact_flat(x, num_fields, k, impl="pallas"),
+    }
+    for name, fn in int_impls.items():
+        t = _time(fn, v2)
+        t += _time(jax.grad(lambda x, fn=fn: jnp.sum(fn(x).astype(jnp.float32))), v2)
+        results[f"interact_flat/{name}"] = t
+    best_int = min(int_impls, key=lambda n: results[f"interact_flat/{n}"])
+    int_ops.set_interact_auto_impl(best_int, on_tpu=on_tpu)
+
+    return {"flat_scatter": best_scatter, "fm_flat": best_fm_flat,
+            "interact": best_int}
+
+
 def autotune(batch: int, num_fields: int, embedding_size: int, vocab_rows: int,
-             include_grad: bool = True, field_info=None) -> dict:
+             include_grad: bool = True, field_info=None, flat: bool = True) -> dict:
     """Benchmark all impls at the working shapes; set the 'auto' defaults.
 
     ``field_info`` (offsets, sizes) additionally benchmarks the field-aware
-    split lookup — the usual winner on TPU (RESULTS.md).
+    split lookup — the usual winner on TPU (RESULTS.md) — and (with
+    ``flat``) the production flat path: lookup_flat's scatter impl +
+    scatter_rows tile geometry + flat FM + DLRM interaction.
     """
     rng = np.random.default_rng(0)
     on_tpu = emb_ops._on_tpu()
@@ -90,9 +186,17 @@ def autotune(batch: int, num_fields: int, embedding_size: int, vocab_rows: int,
     best_fm = min(("xla", "pallas"), key=lambda n: results[f"fm/{n}"])
     fm_ops.set_auto_impl(best_fm, on_tpu=on_tpu)
 
+    picks = {"lookup": best_lookup, "fm": best_fm}
+    if flat and field_info is not None:
+        picks.update(_autotune_flat(
+            batch, num_fields, embedding_size, vocab_rows, field_info, results
+        ))
+
     logger.info(
-        "autotune: lookup=%s fm=%s (%s)",
-        best_lookup, best_fm,
-        {k: f"{1e3 * t:.3f}ms" for k, t in sorted(results.items())},
+        "autotune: %s (%s)",
+        picks,
+        {k: (f"{1e3 * t:.3f}ms" if isinstance(t, float) else t)
+         for k, t in sorted(results.items())},
     )
-    return {"lookup": best_lookup, "fm": best_fm, "timings_s": results}
+    picks["timings_s"] = results
+    return picks

@@ -504,8 +504,20 @@ def _lookup_flat_fwd(table, ids, field_info, k, small_threshold, gather_dtype, g
     return (emb_flat, lin), (table.shape[0], table[:0], ids, mh)
 
 
+# scatter_impl="auto" resolution for the flat backward (pinned by the
+# autotuner; "xla" default = the parity-exact serial scatter)
+_FLAT_SCATTER_AUTO = {"tpu": "xla", "other": "xla"}
+
+
+def set_flat_scatter_auto_impl(name: str, on_tpu: bool = True) -> None:
+    assert name in ("xla", "mxu"), name
+    _FLAT_SCATTER_AUTO["tpu" if on_tpu else "other"] = name
+
+
 def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype,
                      scatter_impl, dense_threshold, res, cts):
+    if scatter_impl == "auto":
+        scatter_impl = _FLAT_SCATTER_AUTO["tpu" if _on_tpu() else "other"]
     if scatter_impl == "mxu":
         return _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype,
                                     dense_threshold, res, cts)

@@ -190,18 +190,31 @@ def _interact_xla_fast_bwd(num_fields, k, itself, flat, g):
 interact_xla_fast.defvjp(_interact_xla_fast_fwd, _interact_xla_fast_bwd)
 
 
+# "auto" resolution (pinned by ops/autotune; "xla" = the measured winner at
+# every tested shape so far — the batched-matmul fwd + fast custom bwd)
+_INTERACT_AUTO = {"tpu": "xla", "other": "xla"}
+
+
+def set_interact_auto_impl(name: str, on_tpu: bool = True) -> None:
+    assert name in ("xla", "pallas"), name
+    _INTERACT_AUTO["tpu" if on_tpu else "other"] = name
+
+
 def interact_flat(flat, num_fields: int, k: int, itself: bool = False,
                   impl: str = "auto"):
     """Pairwise-dot interactions straight from the flat [B, F*K] activation.
 
-    impl: "xla" / "auto" (batched-matmul forward + the fast custom
-    backward — the measured winner at every tested shape), "pallas" (the
-    fused VPU pair-dot forward kernel; measured SLOWER than XLA's forward
-    at [8192, 26, 64] — 1.20 vs 0.745 ms, the 325 per-pair lane reductions
-    and single-column stores dominate — kept for larger K/F shapes and as
-    the honest record), "xla-autodiff" (no custom VJP; the oracle path).
+    impl: "auto" (the autotuner's pin, default "xla"), "xla" (batched-matmul
+    forward + the fast custom backward — the measured winner at every tested
+    shape), "pallas" (the fused VPU pair-dot forward kernel; measured SLOWER
+    than XLA's forward at [8192, 26, 64] — 1.20 vs 0.745 ms, the 325
+    per-pair lane reductions and single-column stores dominate — kept for
+    larger K/F shapes and as the honest record), "xla-autodiff" (no custom
+    VJP; the oracle path).
     """
-    if impl in ("auto", "xla"):
+    if impl == "auto":
+        impl = _INTERACT_AUTO["tpu" if _on_tpu() else "other"]
+    if impl == "xla":
         return interact_xla_fast(flat, num_fields, k, itself)
     if impl == "pallas":
         return interact_pallas(flat, num_fields, k, itself,

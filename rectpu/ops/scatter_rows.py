@@ -47,6 +47,19 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Autotuned tile geometry: the hand-measured production pins (tr=2048,
+# cap=512 — RESULTS.md: smaller AND larger tiles measured worse) are the
+# defaults; ops/autotune sweeps the grid at the working shapes and re-pins.
+_AUTO_TILE = {"tile_rows": 2048, "capacity": 512}
+
+
+def set_auto_tile(tile_rows: int, capacity: int) -> None:
+    """Pin the tile geometry `scatter_rows_dense` uses when the caller passes
+    tile_rows/capacity as None (called by the autotuner)."""
+    _AUTO_TILE["tile_rows"] = int(tile_rows)
+    _AUTO_TILE["capacity"] = int(capacity)
+
+
 def _scatter_tile_kernel(starts_ref, ids_ref, upd_ref, out_ref,
                          *, tr: int, c: int, ss: int):
     """out tile [W, TR] = segment updates^T @ onehot(segment rows).
@@ -109,18 +122,13 @@ def _scatter_tile_kernel_resident(starts_ref, ids_ref, upd_ref, out_ref,
     ).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("v_rows", "tile_rows", "capacity", "out_dtype", "interpret",
-                     "stream_placement"),
-)
 def scatter_rows_dense(
     ids: jax.Array,
     updates: jax.Array,
     v_rows: int,
     *,
-    tile_rows: int = 2048,
-    capacity: int = 512,
+    tile_rows: int | None = None,
+    capacity: int | None = None,
     out_dtype=None,
     interpret: bool = False,
     stream_placement: str = "auto",
@@ -130,8 +138,34 @@ def scatter_rows_dense(
     ids [R] int32 in [0, v_rows); updates [R, W]. Rows collide freely.
     ``tile_rows`` should divide v_rows (a padded output is sliced otherwise —
     one extra copy; size embedding tables with table_padding=tile_rows to
-    stay on the fast path). fp32 collision accumulation regardless of dtype.
+    stay on the fast path); None for either tile arg reads the autotuned
+    pin (set_auto_tile). fp32 collision accumulation regardless of dtype.
     """
+    return _scatter_rows_dense(
+        ids, updates, v_rows,
+        tile_rows=tile_rows if tile_rows is not None else _AUTO_TILE["tile_rows"],
+        capacity=capacity if capacity is not None else _AUTO_TILE["capacity"],
+        out_dtype=out_dtype, interpret=interpret,
+        stream_placement=stream_placement,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("v_rows", "tile_rows", "capacity", "out_dtype", "interpret",
+                     "stream_placement"),
+)
+def _scatter_rows_dense(
+    ids: jax.Array,
+    updates: jax.Array,
+    v_rows: int,
+    *,
+    tile_rows: int,
+    capacity: int,
+    out_dtype=None,
+    interpret: bool = False,
+    stream_placement: str = "auto",
+) -> jax.Array:
     r, w = updates.shape
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else updates.dtype
     tr, c = tile_rows, capacity

@@ -284,6 +284,62 @@ def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity,
     return emb
 
 
+def _mxu_shard_cotangent(ids_full, d_emb_full, d_lin_full, mi, v_shard, k,
+                         table_dtype, tile_rows, capacity, interpret):
+    """Per-shard flat-lookup table cotangent via the MXU scatter machinery.
+
+    The autodiff backward of the flat EP exchanges builds each shard's
+    [V/m, W] cotangent with XLA's serial scatter (~45 ns/row — the exact op
+    ops/scatter_rows was built to beat single-chip). This helper is its
+    replacement: mask every (field, example) cotangent row to the shard's
+    owned range, DEDUP the stream (sort + segment-sum, fp32 — collapses the
+    massively-colliding small fields so no table tile overflows the Pallas
+    per-tile capacity), and rebuild the dense shard gradient with
+    ops/scatter_rows.scatter_rows_dense's sorted one-hot MXU matmuls.
+
+    ``ids_full``: [B_loc, F] GLOBAL ids; ``d_emb_full``: [B_loc, F*K];
+    ``d_lin_full``: [B_loc] or None (the packed linear column's cotangent);
+    ``mi``: this shard's 'model' index (traced).
+    """
+    from rectpu.ops.scatter_rows import scatter_rows_dense
+    from rectpu.train.sparse import dedupe_rows
+
+    b_loc, f_total = ids_full.shape
+    has_lin = d_lin_full is not None
+    w = k + (1 if has_lin else 0)
+    sent = jnp.iinfo(jnp.int32).max // 2  # matches no scatter tile
+    id_parts, g_parts = [], []
+    for f in range(f_total):
+        local = ids_full[:, f].astype(jnp.int32) - mi * v_shard
+        owned = (local >= 0) & (local < v_shard)
+        g_f = jax.lax.dynamic_slice(d_emb_full, (0, f * k), (b_loc, k))
+        if has_lin:
+            g_f = jnp.concatenate(
+                [g_f, d_lin_full[:, None].astype(g_f.dtype)], axis=1
+            )
+        g_f = jnp.where(owned[:, None], g_f, 0).astype(jnp.float32)
+        id_parts.append(jnp.where(owned, local, sent))
+        g_parts.append(g_f)
+    rows, row_g = dedupe_rows(
+        jnp.concatenate(id_parts), jnp.concatenate(g_parts), sent
+    )
+    dtable = scatter_rows_dense(
+        rows, row_g, v_shard,
+        tile_rows=tile_rows,
+        capacity=capacity,
+        out_dtype=jnp.float32,
+        interpret=interpret,
+    )
+    return dtable.astype(table_dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def make_ep_lookup_dedup_flat(
     mesh: Mesh,
     peer_capacity: int | None = None,
@@ -365,7 +421,8 @@ def make_ep_lookup(mesh: Mesh):
     return lookup
 
 
-def make_ep_lookup_flat(mesh: Mesh):
+def make_ep_lookup_flat(mesh: Mesh, scatter_impl: str = "xla",
+                        scatter_tile_rows: int = 2048, scatter_capacity: int = 512):
     """1D EP lookup emitting the LANE-PACKED flat layout.
 
     Same exchange as ``make_ep_lookup`` (masked local gather, psum over
@@ -374,9 +431,14 @@ def make_ep_lookup_flat(mesh: Mesh):
     and folds the packed linear column BEFORE the psum — F*K exact lanes
     cross ICI instead of the tile-padded [B/d, F, K+1], matching the flat
     upgrade the 2d/dedup modes already have.
+
+    ``scatter_impl="mxu"`` replaces the autodiff backward's serial per-shard
+    scatter with the sorted one-hot MXU rebuild (_mxu_shard_cotangent); the
+    1D transpose needs NO extra collective (the cotangent arrives replicated
+    over 'model' — psum's reverse).
     """
 
-    def make_local(has_lin):
+    def make_local(has_lin, shard_shape=None):
         def local_lookup(table_shard, ids_local):
             # table_shard: [V/m, K(+1)]; ids_local: [B/d, F] of GLOBAL ids
             m = jax.lax.axis_index(MODEL_AXIS)
@@ -402,21 +464,64 @@ def make_ep_lookup_flat(mesh: Mesh):
                 lin = jax.lax.psum(lin, MODEL_AXIS)
             return emb_flat, lin
 
-        return local_lookup
+        if scatter_impl != "mxu":
+            return local_lookup
+
+        # v_shard/width/dtype are closed-over statics (make_local is rebuilt
+        # per lookup call); only ids ride as a residual — shipping zero-size
+        # table-derived tokens through the VJP confused GSPMD's sharding
+        # propagation
+        v_shard_s, width_s, dtype_s = shard_shape
+
+        @jax.custom_vjp
+        def local_lookup_mxu(table_shard, ids_local):
+            return local_lookup(table_shard, ids_local)
+
+        def fwd(table_shard, ids_local):
+            return local_lookup(table_shard, ids_local), ids_local
+
+        def bwd(ids_local, cts):
+            d_emb, d_lin = cts
+            k = width_s - (1 if has_lin else 0)
+            # the fwd output is REPLICATED over 'model' (post-psum); shard_map
+            # reverse delivers each peer a PARTIAL SHARE of its cotangent
+            # (sum over peers = the true cotangent) — reassemble with a psum
+            # before consuming it locally
+            d_emb = jax.lax.psum(d_emb, MODEL_AXIS)
+            if has_lin:
+                d_lin = jax.lax.psum(d_lin, MODEL_AXIS)
+            mi = jax.lax.axis_index(MODEL_AXIS)
+            dtable = _mxu_shard_cotangent(
+                ids_local, d_emb, d_lin if has_lin else None, mi, v_shard_s, k,
+                dtype_s, scatter_tile_rows, scatter_capacity, not _on_tpu(),
+            )
+            return dtable, None
+
+        local_lookup_mxu.defvjp(fwd, bwd)
+        return local_lookup_mxu
+
+    n_model = mesh.shape[MODEL_AXIS]
 
     def lookup(table, ids, has_lin=True):
         emb_flat, lin = shard_map(
-            make_local(has_lin),
+            make_local(has_lin,
+                       (table.shape[0] // n_model, table.shape[1], table.dtype)),
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
             out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+            # the MXU backward's pallas_call cannot annotate vma; the
+            # equality tests pin what the checker would have
+            check_vma=scatter_impl != "mxu",
         )(table, ids)
         return emb_flat, (lin if has_lin else None)
 
     return lookup
 
 
-def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
+def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None,
+                           scatter_impl: str = "xla",
+                           scatter_tile_rows: int = 2048,
+                           scatter_capacity: int = 512):
     """2D EP lookup emitting the LANE-PACKED flat layout directly.
 
     Same exchange as ``make_ep_lookup_2d`` (id all_gather over 'model',
@@ -434,11 +539,18 @@ def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
     (all_gather of flat cotangents, per-field local scatter-add, psum over
     'data') for free. ``comm_compress="bf16"`` rides the flat reduce_scatter
     in bf16 (exact sum — see _compressed_psum_scatter).
+
+    ``scatter_impl="mxu"`` swaps autodiff's per-shard serial scatter for the
+    sorted one-hot MXU rebuild (_mxu_shard_cotangent) behind a custom VJP:
+    the cotangent all_gathers back over 'model' (the exact transpose of the
+    tiled reduce_scatter, riding bf16 when ``comm_compress`` does) and the
+    shard gradient is rebuilt with ops/scatter_rows — the same machinery the
+    single-chip flat backward uses (ops/embedding._lookup_flat_bwd_mxu).
     """
     _check_rs_compress(comm_compress)
     n_model = mesh.shape[MODEL_AXIS]
 
-    def make_local(has_lin):
+    def make_local(has_lin, shard_shape=None):
         def local_lookup(table_shard, ids_local):
             # table_shard: [V/m, K(+1)]; ids_local: [B/(d*m), F] of GLOBAL ids
             ids_full = jax.lax.all_gather(
@@ -472,17 +584,63 @@ def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None):
                 lin = jnp.zeros((b // n_model,), jnp.float32)
             return emb_flat, lin
 
-        return local_lookup
+        if scatter_impl != "mxu":
+            return local_lookup
+
+        # statics via closure; only ids ride as a residual (see the 1d twin)
+        v_shard_s, width_s, dtype_s = shard_shape
+
+        @jax.custom_vjp
+        def local_lookup_mxu(table_shard, ids_local):
+            return local_lookup(table_shard, ids_local)
+
+        def fwd(table_shard, ids_local):
+            return local_lookup(table_shard, ids_local), ids_local
+
+        def bwd(ids_local, cts):
+            d_emb, d_lin = cts
+            k = width_s - (1 if has_lin else 0)
+            # transpose of the tiled psum_scatter = tiled all_gather (riding
+            # bf16 when the forward wire did)
+            if comm_compress == "bf16" and d_emb.dtype != jnp.bfloat16:
+                d_emb_full = jax.lax.all_gather(
+                    d_emb.astype(jnp.bfloat16), MODEL_AXIS, axis=0, tiled=True
+                ).astype(d_emb.dtype)
+            else:
+                d_emb_full = jax.lax.all_gather(
+                    d_emb, MODEL_AXIS, axis=0, tiled=True
+                )
+            ids_full = jax.lax.all_gather(
+                ids_local.astype(jnp.int32), MODEL_AXIS, axis=0, tiled=True
+            )
+            d_lin_full = None
+            if has_lin:
+                d_lin_full = jax.lax.all_gather(
+                    d_lin, MODEL_AXIS, axis=0, tiled=True
+                )
+            mi = jax.lax.axis_index(MODEL_AXIS)
+            dtable = _mxu_shard_cotangent(
+                ids_full, d_emb_full, d_lin_full, mi, v_shard_s, k,
+                dtype_s, scatter_tile_rows, scatter_capacity, not _on_tpu(),
+            )
+            return dtable, None
+
+        local_lookup_mxu.defvjp(fwd, bwd)
+        return local_lookup_mxu
 
     def lookup(table, ids, has_lin=True):
         """``has_lin``: the table's last column is the folded linear weight
         (packed DeepFM / fused Wide&Deep); False for plain [V, K] tables
         (DNN), where the returned lin is zeros."""
         emb_flat, lin = shard_map(
-            make_local(has_lin),
+            make_local(has_lin,
+                       (table.shape[0] // n_model, table.shape[1], table.dtype)),
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
             out_specs=(P((DATA_AXIS, MODEL_AXIS), None), P((DATA_AXIS, MODEL_AXIS))),
+            # the MXU backward's pallas_call cannot annotate vma; the
+            # equality tests pin what the checker would have
+            check_vma=scatter_impl != "mxu",
         )(table, ids)
         return emb_flat, (lin if has_lin else None)
 

@@ -54,17 +54,28 @@ class ParallelPlan:
     # the activation collectives outweigh the compute split — built to close
     # SURVEY §2c's TP row and for wider-tower configs; see docs/distributed.md.
     tp_mlp: bool = False
+    # "mxu": the flat EP exchanges build each shard's table cotangent with
+    # the sorted one-hot MXU rebuild (parallel/embedding_ep.
+    # _mxu_shard_cotangent) instead of autodiff's serial per-shard scatter —
+    # the sharded twin of TowerConfig.scatter_impl.
+    scatter_impl: str = "xla"
 
     @classmethod
     def create(
         cls, num_data_shards: int, num_model_shards: int = 1, devices=None,
         table_rows: int | None = None, ep_mode: str = "2d",
         ep_comm_compress: str | None = None, ep_peer_capacity: int | None = None,
-        tp_mlp: bool = False,
+        tp_mlp: bool = False, scatter_impl: str = "xla",
     ):
         mesh = make_mesh(num_data_shards, num_model_shards, devices)
         ep = num_model_shards > 1
         cc = ep_comm_compress
+        if scatter_impl == "auto":
+            # resolve the autotuner's pin once at plan-build time (trainers
+            # run --autotune before creating the plan)
+            from rectpu.ops.embedding import _FLAT_SCATTER_AUTO, _on_tpu
+
+            scatter_impl = _FLAT_SCATTER_AUTO["tpu" if _on_tpu() else "other"]
         if ep_peer_capacity is not None and ep_mode != "dedup":
             raise ValueError("ep_peer_capacity only applies to ep_mode='dedup'")
         if not ep:
@@ -74,7 +85,9 @@ class ParallelPlan:
             # models with flat_layout upgrade to the lane-packed exchange
             # (half the reduce_scatter bytes, flat tower math) through this
             # attribute — the trainer keeps passing one lookup_fn either way
-            lookup_fn.flat_variant = make_ep_lookup_2d_flat(mesh, comm_compress=cc)
+            lookup_fn.flat_variant = make_ep_lookup_2d_flat(
+                mesh, comm_compress=cc, scatter_impl=scatter_impl
+            )
         elif ep_mode == "dedup":
             lookup_fn = make_ep_lookup_dedup(
                 mesh, peer_capacity=ep_peer_capacity, comm_compress=cc
@@ -86,12 +99,15 @@ class ParallelPlan:
             if cc is not None:
                 raise ValueError("ep_comm_compress requires ep_mode '2d' or 'dedup'")
             lookup_fn = make_ep_lookup(mesh)
-            lookup_fn.flat_variant = make_ep_lookup_flat(mesh)
+            lookup_fn.flat_variant = make_ep_lookup_flat(
+                mesh, scatter_impl=scatter_impl
+            )
         if tp_mlp and num_model_shards <= 1:
             raise ValueError("tp_mlp requires num_model_shards > 1")
         return cls(mesh=mesh, ep=ep, lookup_fn=lookup_fn, table_rows=table_rows,
                    ep_mode=ep_mode, ep_comm_compress=ep_comm_compress,
-                   ep_peer_capacity=ep_peer_capacity, tp_mlp=tp_mlp)
+                   ep_peer_capacity=ep_peer_capacity, tp_mlp=tp_mlp,
+                   scatter_impl=scatter_impl)
 
     @property
     def _batch_axes(self):

@@ -1,0 +1,142 @@
+"""Sparse (lazy-Adam) updates of EP row-sharded embedding tables.
+
+This closes the flagship-scale composition gap: EP row-sharding
+(parallel/embedding_ep.py) replaces the reference's parameter-server-hosted
+embedding variables (/root/reference/distributed.md:43-82), and the sparse
+fast step (train/fast_step.py) replaces TF's ``_apply_sparse`` lazy-Adam
+kernels — but a multi-GB sharded table needs BOTH at once: the regime where
+sharding matters (dense sweep 22.5 ms vs sparse 1.77 ms at 6M rows,
+RESULTS.md) is exactly the regime where a dense per-shard optimizer sweep is
+unaffordable.
+
+The update is one shard_map over the ('data','model') mesh. Per device:
+
+  1. dedup the local [B_loc, F] (id, cotangent-row) pairs — sort +
+     segment-sum, static shapes (train/sparse.dedupe_rows); a batch slice's
+     unique ids are ~8x fewer than its lookups for this schema;
+  2. [2D batch only] bucket the unique rows by owning table shard and
+     all_to_all them (ids + summed fp32 grads) to their owners over 'model' —
+     the same deduped exchange the forward runs, in reverse;
+  3. all_gather the received (id, grad) lists over 'data' so every replica of
+     a table shard sees every data shard's contributions (the table is
+     replicated along 'data'; identical inputs keep the replicas bitwise in
+     sync);
+  4. dedup-sum again (cross-source collisions) and apply TF-style lazy Adam
+     to exactly the owned touched rows (train/sparse.sparse_adam_rows):
+     untouched rows keep stale m/v and receive no step, matching
+     ``tf.train.AdamOptimizer._apply_sparse``.
+
+Wire volume is unique-rows * W per hop — never a dense [V, W] gradient, and
+never a dense optimizer sweep. The all_to_all capacity uses the provably
+lossless bound min(n_local, V/m) by default: unlike the forward activation
+exchange (where capacity overflow drops to zero embeddings, the MoE
+contract), silently dropping OPTIMIZER updates is never acceptable, so a
+caller-set ``peer_capacity`` is honored but defaults stay exact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from rectpu.train.sparse import dedupe_rows, sparse_adam_rows
+
+
+def make_sparse_rows_ep(
+    mesh: Mesh,
+    batch_2d: bool,
+    peer_capacity: int | None = None,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    epsilon: float = 1e-8,
+):
+    """Build ``update(table, m, v, ids, dlooked, lr_t) -> (table, m, v)``.
+
+    ``table``/``m``/``v``: [V, W] leaves row-sharded P('model', None);
+    ``ids``: [B, F] int32 global row ids, sharded on the batch dim over
+    ('data','model') when ``batch_2d`` (the 2d/dedup EP batch layout) else
+    over 'data' alone (1d EP: replicated over 'model'); ``dlooked``:
+    [B, F, W] cotangents of the gathered rows, sharded like ``ids``;
+    ``lr_t``: the bias-corrected scalar rate (train/sparse.adam_lr_t).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    batch_axes = (DATA_AXIS, MODEL_AXIS) if batch_2d else DATA_AXIS
+
+    def local_update(table, m, v, ids, dl, lr_t):
+        v_shard, w = table.shape
+        v_total = v_shard * n_model
+        flat_ids = ids.reshape(-1).astype(jnp.int32)
+        # fp32 row sums regardless of tower dtype (bf16 collision sums would
+        # drop increments below the running sum's ulp/2)
+        flat_g = dl.reshape(-1, w).astype(jnp.float32)
+        rows, grads = dedupe_rows(flat_ids, flat_g, v_total)
+        n = rows.shape[0]
+
+        if batch_2d and n_model > 1:
+            # deduped rows ride to their owners: ids + grads all_to_all over
+            # 'model' (the reverse of the forward dedup exchange)
+            cap = peer_capacity if peer_capacity is not None else min(n, v_shard)
+            peer = jnp.where(rows < v_total, rows // v_shard, n_model)
+            onehot_p = peer[:, None] == jnp.arange(n_model)[None, :]  # [n, M]
+            pos = jnp.sum(
+                jnp.where(
+                    onehot_p, jnp.cumsum(onehot_p.astype(jnp.int32), axis=0) - 1, 0
+                ),
+                axis=1,
+            )
+            ok = (peer < n_model) & (pos < cap)
+            addr = jnp.where(ok, peer * cap + pos, n_model * cap)
+            send_ids = (
+                jnp.full((n_model * cap,), v_total, jnp.int32)
+                .at[addr]
+                .set(rows, mode="drop")
+            )
+            send_g = (
+                jnp.zeros((n_model * cap, w), jnp.float32)
+                .at[addr]
+                .set(grads, mode="drop")
+            )
+            rows = jax.lax.all_to_all(
+                send_ids.reshape(n_model, cap), MODEL_AXIS, 0, 0, tiled=False
+            ).reshape(-1)
+            grads = jax.lax.all_to_all(
+                send_g.reshape(n_model, cap, w), MODEL_AXIS, 0, 0, tiled=False
+            ).reshape(-1, w)
+
+        # every 'data' replica of this table shard must apply the SAME update
+        rows = jax.lax.all_gather(rows, DATA_AXIS, axis=0, tiled=True)
+        grads = jax.lax.all_gather(grads, DATA_AXIS, axis=0, tiled=True)
+        rows, grads = dedupe_rows(rows, grads, v_total)
+
+        mi = jax.lax.axis_index(MODEL_AXIS)
+        local = rows - mi * v_shard
+        owned = (rows < v_total) & (local >= 0) & (local < v_shard)
+        safe = jnp.where(owned, local, v_shard)  # v_shard = drop sentinel
+        return sparse_adam_rows(
+            table, m, v, safe, grads, lr_t, beta1, beta2, epsilon
+        )
+
+    def update(table, m, v, ids, dlooked, lr_t):
+        # check_vma=False: the checker cannot infer that the all_gather over
+        # 'data' makes the (rows, grads) inputs of the update identical on
+        # every 'data' replica — it is true by construction (step 3 above)
+        # and pinned by the sharded==single-device equality tests.
+        return shard_map(
+            local_update,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(
+                P(MODEL_AXIS, None),
+                P(MODEL_AXIS, None),
+                P(MODEL_AXIS, None),
+                P(batch_axes, None),
+                P(batch_axes, None, None),
+                P(),
+            ),
+            out_specs=(P(MODEL_AXIS, None),) * 3,
+        )(table, m, v, ids, dlooked, lr_t)
+
+    return update

@@ -10,23 +10,30 @@ random-row scatter/gather on TPU costs ~0.1-0.5 us/row, so six sparse
 state-row round-trips on ~25k touched rows exceed the ~2 ms the dense sweep
 costs. This module is therefore NOT the default; it is the correct tool when
 the table is large enough that a dense optimizer sweep dominates the step
-(crossover roughly V*K > ~100M elements, i.e. multi-GB tables where a dense
-sweep costs tens of ms). Tests pin its exact lazy-Adam semantics either way.
+(crossover roughly V*W > ~100M elements, i.e. multi-GB tables where a dense
+sweep costs tens of ms: measured 22.5 ms dense vs 1.77 ms sparse at 6M rows).
+Trainers expose it as ``--fast-step {auto,on,off}`` with auto = that
+crossover. Tests pin its exact lazy-Adam semantics either way.
 
 This step restructures the computation:
   1. gather the (fused linear+embedding) rows OUTSIDE the differentiated
-     function;
+     function — locally (ops/embedding.embedding_lookup) or, given a
+     ``ParallelPlan`` with EP, through the sharded exchange (plan.lookup_fn);
   2. differentiate w.r.t. the GATHERED rows and the small dense params;
   3. dedupe the batch ids (sort + segment-sum) and apply TF-style lazy Adam
-     to exactly the touched rows (rectpu/train/sparse.py);
+     to exactly the touched rows (rectpu/train/sparse.py) — per table SHARD
+     when EP is on, with the deduped rows + cotangents riding the same
+     all_to_all pattern as the forward (rectpu/parallel/sparse_ep.py);
   4. dense Adam for the MLP/bias params (tiny).
 
 Semantics: identical to dense Adam on step 1 from zero state; thereafter it
 is lazy Adam — untouched rows keep stale m/v and receive no step, matching
 ``tf.train.AdamOptimizer._apply_sparse`` (what the reference's estimators run
-for embedding variables). The model math is each model's ``apply_looked``
-hook — the same tower code the generic step runs, fed pre-gathered rows
-(DeepFM/DNN/DLRM/DCN all expose it).
+for embedding variables; the EP composition replaces the reference's sparse
+gradient push to parameter servers, /root/reference/distributed.md:43-58).
+The model math is each model's ``apply_looked`` hook — the same tower code
+the generic step runs, fed pre-gathered rows (DeepFM/DNN/DLRM/DCN all expose
+it).
 """
 
 from __future__ import annotations
@@ -45,51 +52,86 @@ def make_sparse_step(
     beta1: float = 0.9,
     beta2: float = 0.999,
     epsilon: float = 1e-8,
+    plan=None,
+    loss_reduction: str = "mean",
 ):
     """Build (init_opt_state, step) for any model exposing ``apply_looked``
     (DeepFM, DNN, DLRM, DCN) with Adam.
 
-    Fused-linear models (DeepFM) additionally require cfg.fuse_linear_lookup
-    so the linear weight rides the shared gather; models without a linear
-    tower shard only the [V, K] table.
+    Fused-linear models (DeepFM) require either ``cfg.packed_linear`` (the
+    single [V, K+1] table leaf) or ``cfg.fuse_linear_lookup`` (emb + linear.w
+    concatenated per step); models without a linear tower update only the
+    [V, K] table.
+
+    ``plan``: a ParallelPlan. With EP on, the gather runs through
+    plan.lookup_fn (the sharded exchange) and the lazy-Adam table update
+    through the shard-level deduped exchange (parallel/sparse_ep.py); the
+    table must then be a SINGLE sharded leaf — packed_linear for DeepFM, the
+    plain [V, K] table for linear-less models.
     """
     cfg = model.cfg
     if not hasattr(model, "apply_looked"):
         raise ValueError(
             f"{model.name}: sparse fast step needs an apply_looked hook")
     use_linear = bool(getattr(model, "use_linear", False))
-    if use_linear and not cfg.fuse_linear_lookup:
-        raise ValueError("sparse fast step requires fuse_linear_lookup=True")
-    if getattr(model, "packed", False):
+    packed = bool(getattr(model, "packed", False))
+    if use_linear and not (packed or cfg.fuse_linear_lookup):
         raise ValueError(
-            "sparse fast step manages emb/linear.w itself; use packed_linear=False"
+            "sparse fast step requires fuse_linear_lookup=True or packed_linear=True"
         )
+    ep = plan is not None and getattr(plan, "ep", False)
+    if ep and use_linear and not packed:
+        raise ValueError(
+            "sparse EP fast step with a linear tower needs packed_linear=True "
+            "(one sharded [V, K+1] leaf; per-step concat of a sharded emb with "
+            "a replicated w would dense-materialize the table)"
+        )
+    if loss_reduction not in ("mean", "sum"):
+        raise ValueError(f"loss_reduction must be mean|sum, got {loss_reduction}")
     k = cfg.embedding_size
     fs = cfg.feature_set
     field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+    table_key = "table" if packed else "emb"
+
+    ep_update = None
+    if ep:
+        from rectpu.parallel.sparse_ep import make_sparse_rows_ep
+
+        ep_update = make_sparse_rows_ep(
+            plan.mesh,
+            batch_2d=plan.ep_mode in ("2d", "dedup"),
+            beta1=beta1, beta2=beta2, epsilon=epsilon,
+        )
 
     def split_params(params):
-        sparse = {"emb": params["emb"]}
-        rest = {kk: vv for kk, vv in params.items() if kk not in ("emb", "linear")}
+        sparse = {table_key: params[table_key]}
+        rest = {
+            kk: vv for kk, vv in params.items() if kk not in (table_key, "linear")
+        }
         if use_linear:
-            sparse["w"] = params["linear"]["w"]
-            rest["linear_rest"] = {
-                kk: vv for kk, vv in params["linear"].items() if kk != "w"
-            }
+            if packed:
+                rest["linear_rest"] = dict(params["linear"])
+            else:
+                sparse["w"] = params["linear"]["w"]
+                rest["linear_rest"] = {
+                    kk: vv for kk, vv in params["linear"].items() if kk != "w"
+                }
         return sparse, rest
 
     def join_params(sparse, rest):
         params = {kk: vv for kk, vv in rest.items() if kk != "linear_rest"}
-        params["emb"] = sparse["emb"]
+        params[table_key] = sparse[table_key]
         if use_linear:
             params["linear"] = dict(rest["linear_rest"])
-            params["linear"]["w"] = sparse["w"]
+            if not packed:
+                params["linear"]["w"] = sparse["w"]
         return params
 
     def init_opt_state(params):
         sparse, rest = split_params(params)
-        zeros = jax.tree.map(jnp.zeros_like, {"sparse": sparse, "rest": rest})
-        return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, {"sparse": sparse, "rest": rest}),
+        tree = {"sparse": sparse, "rest": rest}
+        return {"m": jax.tree.map(jnp.zeros_like, tree),
+                "v": jax.tree.map(jnp.zeros_like, tree),
                 "t": jnp.zeros((), jnp.int32)}
 
     def step(params, opt_state, batch, rng, step_idx):
@@ -97,23 +139,34 @@ def make_sparse_step(
         ids = batch["cat_ids"]
         dtype = cfg.jnp_compute_dtype
 
-        if use_linear:
+        if use_linear and not packed:
             table = jnp.concatenate([sparse["emb"], sparse["w"][:, None]], axis=1)
         else:
-            table = sparse["emb"]
-        looked = embedding_lookup(table, ids, impl=cfg.embedding_impl, field_info=field_info)
+            table = sparse[table_key]
+        if ep:
+            looked = plan.lookup_fn(table, ids)
+        else:
+            looked = embedding_lookup(
+                table, ids, impl=cfg.embedding_impl, field_info=field_info
+            )
 
         step_rng = jax.random.fold_in(rng, step_idx)
 
         def loss_fn(rest_p, looked_p):
-            # emb/w enter only through `looked`; placeholders keep the tree shape
-            model_params = join_params({"emb": None, "w": None}, rest_p)
+            # the table enters only through `looked`; placeholders keep the
+            # tree shape
+            holes = {table_key: None}
+            if use_linear and not packed:
+                holes["w"] = None
+            model_params = join_params(holes, rest_p)
             lp = looked_p.astype(dtype) if dtype is not None else looked_p
             logits = model.apply_looked(model_params, lp, batch, train=True, rng=step_rng)
             losses = metrics_lib.sigmoid_xent(logits, batch["labels"])
             if "weights" in batch:
                 w = batch["weights"]
                 return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+            if loss_reduction == "sum":
+                return losses.sum()
             return losses.mean()
 
         (loss, (drest, dlooked)) = jax.value_and_grad(loss_fn, argnums=(0, 1))(rest, looked)
@@ -133,25 +186,39 @@ def make_sparse_step(
         )
 
         # lazy Adam on exactly the touched table rows
-        v_rows = table.shape[0]
-        cols = dlooked.shape[-1]
-        rows, row_grads = dedupe_rows(
-            ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32), v_rows
-        )
         m_sp, v_sp = opt_state["m"]["sparse"], opt_state["v"]["sparse"]
-        emb_new, m_emb, v_emb = sparse_adam_rows(
-            sparse["emb"], m_sp["emb"], v_sp["emb"], rows, row_grads[:, :k],
-            lr_t, beta1, beta2, epsilon,
-        )
-        new_sparse = {"emb": emb_new}
-        m_sp_new, v_sp_new = {"emb": m_emb}, {"emb": v_emb}
-        if use_linear:
-            w_new, m_w, v_w = sparse_adam_rows(
-                sparse["w"], m_sp["w"], v_sp["w"], rows, row_grads[:, k],
-                lr_t, beta1, beta2, epsilon,
+        if ep:
+            tbl_new, m_tbl, v_tbl = ep_update(
+                sparse[table_key], m_sp[table_key], v_sp[table_key],
+                ids, dlooked, lr_t,
             )
-            new_sparse["w"] = w_new
-            m_sp_new["w"], v_sp_new["w"] = m_w, v_w
+            new_sparse = {table_key: tbl_new}
+            m_sp_new, v_sp_new = {table_key: m_tbl}, {table_key: v_tbl}
+        else:
+            v_rows = table.shape[0]
+            cols = dlooked.shape[-1]
+            rows, row_grads = dedupe_rows(
+                ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32), v_rows
+            )
+            if packed or not use_linear:
+                tbl_new, m_tbl, v_tbl = sparse_adam_rows(
+                    sparse[table_key], m_sp[table_key], v_sp[table_key],
+                    rows, row_grads, lr_t, beta1, beta2, epsilon,
+                )
+                new_sparse = {table_key: tbl_new}
+                m_sp_new, v_sp_new = {table_key: m_tbl}, {table_key: v_tbl}
+            else:
+                emb_new, m_emb, v_emb = sparse_adam_rows(
+                    sparse["emb"], m_sp["emb"], v_sp["emb"], rows, row_grads[:, :k],
+                    lr_t, beta1, beta2, epsilon,
+                )
+                w_new, m_w, v_w = sparse_adam_rows(
+                    sparse["w"], m_sp["w"], v_sp["w"], rows, row_grads[:, k],
+                    lr_t, beta1, beta2, epsilon,
+                )
+                new_sparse = {"emb": emb_new, "w": w_new}
+                m_sp_new = {"emb": m_emb, "w": m_w}
+                v_sp_new = {"emb": v_emb, "w": v_w}
 
         params = join_params(new_sparse, rest)
         opt_state = {

@@ -84,9 +84,15 @@ class Trainer:
         plan=None,
         exporter=None,
         event_writer=None,
+        fast_step=None,
     ):
         self.model = model
         self.optimizer = optimizer
+        # (init_opt_state, step) from train/fast_step.make_sparse_step: the
+        # sparse lazy-Adam step replaces value_and_grad + optimizer.update
+        # (the optimizer arg then only names the semantics; its init/update
+        # are not used)
+        self.fast_step = fast_step
         self.train_ds = train_ds
         self.eval_ds = eval_ds
         self.job_dir = Path(job_dir)
@@ -125,12 +131,20 @@ class Trainer:
     def _build_steps(self):
         optimizer = self.optimizer
 
-        def one_step(carry, batch):
-            params, opt_state, rng, step = carry
-            step_rng = jax.random.fold_in(rng, step)
-            loss, grads = jax.value_and_grad(self._loss_fn)(params, batch, step_rng)
-            params, opt_state = optimizer.update(grads, opt_state, params)
-            return (params, opt_state, rng, step + 1), loss
+        if self.fast_step is not None:
+            _, fstep = self.fast_step
+
+            def one_step(carry, batch):
+                params, opt_state, rng, step = carry
+                params, opt_state, loss = fstep(params, opt_state, batch, rng, step)
+                return (params, opt_state, rng, step + 1), loss
+        else:
+            def one_step(carry, batch):
+                params, opt_state, rng, step = carry
+                step_rng = jax.random.fold_in(rng, step)
+                loss, grads = jax.value_and_grad(self._loss_fn)(params, batch, step_rng)
+                params, opt_state = optimizer.update(grads, opt_state, params)
+                return (params, opt_state, rng, step + 1), loss
 
         def train_chunk(params, opt_state, rng, step, batches):
             (params, opt_state, _, step), losses = jax.lax.scan(
@@ -382,7 +396,10 @@ class Trainer:
             # TF semantics: warm start seeds a FRESH run; a restored
             # checkpoint (below) overwrites it, making restarts idempotent
             params = self._warm_start(params)
-        opt_state = self.optimizer.init(params)
+        if self.fast_step is not None:
+            opt_state = self.fast_step[0](params)
+        else:
+            opt_state = self.optimizer.init(params)
         if getattr(self.optimizer, "prepare", None) is not None:
             # e.g. bf16_param_store: downcast the stored table leaves (the
             # fp32 masters were captured by optimizer.init above). A restored

@@ -12,6 +12,9 @@ from rectpu.trainers.common import add_common_args, add_deep_args, run
 
 
 def train_and_evaluate(args):
+    from rectpu.trainers.common import apply_preset
+
+    args = apply_preset(args)
     cfg = TowerConfig(
         feature_set=ml_100k_feature_set(),
         embedding_size=args.embedding_size,
@@ -24,7 +27,7 @@ def train_and_evaluate(args):
         table_dtype=args.table_dtype,
         flat_layout=args.flat_layout,
         scatter_impl=args.scatter_impl,
-        table_padding=2048 if args.scatter_impl == "mxu" else 128,
+        table_padding=2048 if args.scatter_impl in ("mxu", "auto") else 128,
     )
     optimizer = None
     if args.acc_dtype:

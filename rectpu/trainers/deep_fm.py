@@ -20,6 +20,9 @@ from rectpu.train.optimizers import get_optimizer
 
 
 def train_and_evaluate(args):
+    from rectpu.trainers.common import apply_preset
+
+    args = apply_preset(args)
     cfg = TowerConfig(
         feature_set=ml_100k_feature_set(numeric=tuple(args.numeric_columns or ())),
         embedding_size=args.embedding_size,
@@ -34,7 +37,7 @@ def train_and_evaluate(args):
         packed_linear=args.packed_linear or args.flat_layout,
         flat_layout=args.flat_layout,
         scatter_impl=args.scatter_impl,
-        table_padding=2048 if args.scatter_impl == "mxu" else 128,
+        table_padding=2048 if args.scatter_impl in ("mxu", "auto") else 128,
     )
     model = DeepFMModel(
         cfg,

@@ -13,11 +13,20 @@ def restore_global_pins():
     TIMING-DEPENDENT winner; a leaked Pallas pin broke batch-polymorphic
     jax.export in later tests intermittently (static tile sizes cannot trace
     under a symbolic batch dim)."""
-    before_lookup = dict(emb_ops._AUTO_DEFAULT)
-    before_fm = dict(fm_ops._AUTO_DEFAULT)
+    from rectpu.ops import interaction as int_ops
+    from rectpu.ops import scatter_rows as sr_ops
+
+    saved = [
+        (emb_ops._AUTO_DEFAULT, dict(emb_ops._AUTO_DEFAULT)),
+        (emb_ops._FLAT_SCATTER_AUTO, dict(emb_ops._FLAT_SCATTER_AUTO)),
+        (fm_ops._AUTO_DEFAULT, dict(fm_ops._AUTO_DEFAULT)),
+        (fm_ops._FLAT_AUTO, dict(fm_ops._FLAT_AUTO)),
+        (int_ops._INTERACT_AUTO, dict(int_ops._INTERACT_AUTO)),
+        (sr_ops._AUTO_TILE, dict(sr_ops._AUTO_TILE)),
+    ]
     yield
-    emb_ops._AUTO_DEFAULT.update(before_lookup)
-    fm_ops._AUTO_DEFAULT.update(before_fm)
+    for live, before in saved:
+        live.update(before)
 
 
 def test_autotune_smoke():
@@ -48,3 +57,10 @@ def test_autotune_with_field_info():
                       field_info=field_info)
     assert "lookup/split" in result["timings_s"]
     assert result["lookup"] in ("take", "onehot", "pallas", "split")
+    # round-3: the production flat path is tuned too, and each pin matches
+    # the dispatcher state the next jit will read
+    assert result["flat_scatter"] in ("xla", "mxu")
+    assert result["fm_flat"] in ("xla", "pallas")
+    assert result["interact"] in ("xla", "pallas")
+    key = "tpu" if emb_ops._on_tpu() else "other"
+    assert emb_ops._FLAT_SCATTER_AUTO[key] == result["flat_scatter"]

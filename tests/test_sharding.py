@@ -577,3 +577,90 @@ def test_tp_param_sharding_rules():
         if "kernel" in str(path[-1])
     }
     assert any(s == P(None, "model") for s in kernel_specs.values())
+
+
+# --- MXU scatter in the EP backward (round-3 VERDICT item 2) ------------------
+
+
+@pytest.mark.parametrize("mode", ["2d", "1d"])
+@pytest.mark.parametrize("has_lin", [True, False])
+def test_ep_flat_grad_mxu_matches_xla(rng, mode, has_lin):
+    """scatter_impl='mxu' on the flat EP exchanges: the table cotangent built
+    by the sorted one-hot MXU rebuild equals the autodiff serial scatter."""
+    from rectpu.parallel.embedding_ep import (
+        make_ep_lookup_2d_flat,
+        make_ep_lookup_flat,
+    )
+
+    mesh = make_mesh(2, 4)
+    factory = make_ep_lookup_2d_flat if mode == "2d" else make_ep_lookup_flat
+    lookup_xla = factory(mesh)
+    lookup_mxu = factory(mesh, scatter_impl="mxu")
+    fs = ml_100k_feature_set()
+    v, k = -(-fs.total_buckets // 8) * 8, 4
+    w = k + 1 if has_lin else k
+    table = jnp.asarray(rng.normal(size=(v, w)).astype(np.float32))
+    ids_np = np.stack(
+        [fs.offsets[f] + rng.integers(0, fs.field_sizes[f], size=16)
+         for f in range(fs.num_fields)], 1).astype(np.int32)
+    ids = jnp.asarray(ids_np)
+    w_emb = jnp.asarray(rng.normal(size=(16, fs.num_fields * k)).astype(np.float32))
+
+    def obj(fn):
+        def f(t):
+            emb, lin = fn(t, ids, has_lin=has_lin)
+            out = jnp.sum(w_emb * emb)
+            return out + jnp.sum(lin) if lin is not None else out
+        return jax.grad(f)(table)
+
+    # forward values identical too (the custom VJP must not change the primal)
+    e_x, l_x = lookup_xla(table, ids, has_lin=has_lin)
+    e_m, l_m = lookup_mxu(table, ids, has_lin=has_lin)
+    np.testing.assert_allclose(np.asarray(e_x), np.asarray(e_m), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(obj(lookup_mxu)), np.asarray(obj(lookup_xla)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("fm_order", [2, 3])
+def test_sharded_flat_train_step_mxu_matches_single_device(rng, fm_order):
+    """flat_layout + 2D EP + scatter_impl='mxu' end to end: the full sharded
+    train step (custom-VJP MXU cotangent on every shard) equals the
+    single-device flat step. fm_order=3 locks the sharded==unsharded
+    invariant for the order-3 term too (ADVICE round-2)."""
+    nd, nm = 2, 4
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=8 * nm, packed_linear=True, flat_layout=True)
+    model = DeepFMModel(cfg, fm_order=fm_order)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = model.default_optimizer()
+    opt_state = opt.init(params)
+    batch = _batch(fs, 32, rng)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def step(params, opt_state, batch, lookup_fn):
+        def loss_fn(p):
+            logits = model.apply(p, batch, train=False, lookup_fn=lookup_fn)
+            return sigmoid_xent(logits, batch["labels"]).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, loss
+
+    p_ref, _, loss_ref = jax.jit(lambda p, s, b: step(p, s, b, None))(
+        params, opt_state, batch_j
+    )
+    plan = ParallelPlan.create(nd, nm, table_rows=cfg.padded_buckets,
+                               ep_mode="2d", scatter_impl="mxu")
+    p_out, _, loss_sh = jax.jit(lambda p, s, b: step(p, s, b, plan.lookup_fn))(
+        plan.shard_params(params), plan.shard_params(opt_state), plan.shard_batch(batch)
+    )
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        jax.device_get(p_ref), jax.device_get(p_out),
+    )

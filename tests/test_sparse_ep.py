@@ -1,0 +1,189 @@
+"""Sparse lazy-Adam fast step composed with EP row-sharding (round-3 VERDICT
+item 1): sharded sparse updates must equal the single-device lazy-Adam step,
+and the composition must be reachable from the real trainer CLI."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rectpu.features.schema import ml_100k_feature_set
+from rectpu.models import DeepFMModel, DNNModel, TowerConfig
+from rectpu.parallel import ParallelPlan
+from rectpu.train.fast_step import make_sparse_step
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _batch(fs, b, rng):
+    offs, sizes = fs.offsets, fs.field_sizes
+    ids = np.stack(
+        [offs[f] + rng.integers(0, sizes[f], size=b) for f in range(fs.num_fields)], 1
+    )
+    return {
+        "cat_ids": jnp.asarray(ids.astype(np.int32)),
+        "num_vals": jnp.zeros((b, 0), jnp.float32),
+        "labels": jnp.asarray((rng.random(b) < 0.3).astype(np.float32)),
+    }
+
+
+def _run_steps(model, plan, params, batches, n_steps=3):
+    init, step = make_sparse_step(model, learning_rate=0.001, plan=plan)
+    p, s = params, init(params)
+    if plan is not None:
+        p = plan.shard_params(p)
+        s = plan.shard_params(s)
+    jstep = jax.jit(step)
+    rng = jax.random.PRNGKey(7)
+    loss = None
+    for t in range(n_steps):
+        b = batches[t % len(batches)]
+        if plan is not None:
+            b = plan.shard_batch({k: np.asarray(v) for k, v in b.items()})
+        p, s, loss = jstep(p, s, b, rng, jnp.asarray(t))
+    return jax.device_get(p), float(loss)
+
+
+@pytest.mark.parametrize("ep_mode", ["2d", "dedup", "1d"])
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_sparse_ep_step_matches_single_device(ep_mode, shape, rng):
+    """3 chained sparse steps on a (data x model) mesh == single-device lazy
+    Adam (packed DeepFM: one fused [V, K+1] sharded table leaf)."""
+    nd, nm = shape
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=8 * nm, packed_linear=True)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batches = [_batch(fs, 32, rng) for _ in range(3)]
+
+    p_ref, l_ref = _run_steps(model, None, params, batches)
+    plan = ParallelPlan.create(nd, nm, table_rows=cfg.padded_buckets, ep_mode=ep_mode)
+    p_sh, l_sh = _run_steps(model, plan, params, batches)
+
+    assert np.isclose(l_ref, l_sh, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        p_ref, p_sh,
+    )
+
+
+def test_sparse_ep_emb_only_model(rng):
+    """Models without a linear tower (plain [V, K] table) shard + update
+    sparsely too."""
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(8,),
+                      table_padding=8 * 4)
+    model = DNNModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batches = [_batch(fs, 32, rng) for _ in range(2)]
+
+    p_ref, l_ref = _run_steps(model, None, params, batches, n_steps=2)
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets, ep_mode="dedup")
+    p_sh, l_sh = _run_steps(model, plan, params, batches, n_steps=2)
+
+    assert np.isclose(l_ref, l_sh, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        p_ref, p_sh,
+    )
+
+
+def test_sparse_ep_unsharded_packed_matches_split_leaf(rng):
+    """The packed single-leaf sparse path (new) equals the historical
+    emb + linear.w split-leaf path on identical math."""
+    fs = ml_100k_feature_set()
+    cfg_split = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16,))
+    cfg_packed = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16,),
+                             packed_linear=True)
+    m_split, m_packed = DeepFMModel(cfg_split), DeepFMModel(cfg_packed)
+    p_split = m_split.init(jax.random.PRNGKey(0))
+    p_packed = m_packed.init(jax.random.PRNGKey(0))
+    batches = [_batch(fs, 32, rng) for _ in range(3)]
+
+    ps, _ = _run_steps(m_split, None, p_split, batches)
+    pp, _ = _run_steps(m_packed, None, p_packed, batches)
+    k = cfg_split.embedding_size
+    np.testing.assert_allclose(
+        np.asarray(pp["table"][:, :k]), np.asarray(ps["emb"]), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(pp["table"][:, k]), np.asarray(ps["linear"]["w"]), rtol=1e-6,
+        atol=1e-7,
+    )
+
+
+def _fast_args(synthetic_dir, tmp_path, tag, **over):
+    import importlib
+
+    mod = importlib.import_module("rectpu.trainers.deep_fm")
+    parser = mod.build_parser()
+    argv = [
+        "--train-csv", synthetic_dir["train"],
+        "--test-csv", synthetic_dir["test"],
+        "--job-dir", str(tmp_path / tag),
+        "--train-steps", "800",
+        "--batch-size", "64",
+        "--steps-per-loop", "50",
+        "--save-checkpoints-steps", "1000000",
+        "--fast-step", "on",
+        "--packed-linear",
+    ]
+    for k, v in over.items():
+        if v is True:
+            argv += [f"--{k.replace('_', '-')}"]
+        else:
+            argv += [f"--{k.replace('_', '-')}", str(v)]
+    return mod, parser.parse_args(argv)
+
+
+def test_fast_step_cli_sharded_matches_unsharded(synthetic_dir, tmp_path):
+    """--fast-step on over a (4x2) mesh through the REAL deep_fm parser:
+    final eval metrics equal the unsharded fast-step run (the flagship-scale
+    capability: sharded tables + sparse updates, CLI-reachable)."""
+    mod, args_ref = _fast_args(synthetic_dir, tmp_path, "unsharded")
+    m_ref = mod.train_and_evaluate(args_ref)
+
+    mod, args_sh = _fast_args(
+        synthetic_dir, tmp_path, "sharded",
+        num_data_shards=4, num_model_shards=2, ep_mode="dedup",
+    )
+    m_sh = mod.train_and_evaluate(args_sh)
+
+    assert m_sh["count"] == 1200
+    assert m_sh["auc"] > 0.55  # it actually learns
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(m_ref[key], m_sh[key], rtol=1e-5, atol=1e-6), (
+            key, m_ref, m_sh)
+
+
+def test_fast_step_auto_and_validation(synthetic_dir, tmp_path):
+    """'auto' keeps the dense step below the crossover; 'on' + non-Adam
+    raises with an explanation."""
+    import importlib
+
+    from rectpu.trainers.common import build_trainer
+
+    mod = importlib.import_module("rectpu.trainers.deep_fm")
+    parser = mod.build_parser()
+    base = [
+        "--train-csv", synthetic_dir["train"],
+        "--test-csv", synthetic_dir["test"],
+        "--job-dir", str(tmp_path / "gate"),
+    ]
+    # auto at ml-100k scale: table << 100M elements -> dense step
+    args = parser.parse_args(base + ["--fast-step", "auto"])
+    from rectpu.models import DeepFMModel, TowerConfig
+
+    cfg = TowerConfig(feature_set=ml_100k_feature_set())
+    trainer = build_trainer(args, DeepFMModel(cfg))
+    assert trainer.fast_step is None
+
+    # on + Adagrad: explicit error
+    args = parser.parse_args(base + ["--fast-step", "on", "--optimizer", "Adagrad"])
+    with pytest.raises(ValueError, match="requires Adam"):
+        mod.train_and_evaluate(args)

@@ -281,3 +281,43 @@ def test_table_store_flag_matches_recast_path(synthetic_dir, tmp_path):
                               train_steps=10, table_store="bfloat16")
     with pytest.raises(ValueError, match="compute-dtype bfloat16"):
         bad_mod.train_and_evaluate(bad_args)
+
+
+@pytest.mark.parametrize("name", ["deep_fm", "deep", "linear_deep"])
+def test_scaled_preset_trains_and_exports(name, synthetic_dir, tmp_path):
+    """--preset scaled (the measured production bundle: flat layout + mxu
+    scatter + bf16 + hash dropout + packed tables) trains, evaluates, and
+    exports through the real CLI for the zoo (round-3 VERDICT item 6)."""
+    mod, args = _args(name, synthetic_dir, tmp_path, train_steps=300,
+                      save_steps=10**6, preset="scaled")
+    # the preset resolved the perf knobs (only where left at defaults)
+    metrics = mod.train_and_evaluate(args)
+    assert args.flat_layout is True
+    assert args.scatter_impl == "mxu"
+    assert args.compute_dtype == "bfloat16"
+    assert metrics["count"] == 1200
+    assert 0 < metrics["average_loss"] < 1.5
+
+    from rectpu.serve.export import latest_export, load_model
+
+    export_dir = latest_export(args.job_dir)
+    assert export_dir is not None
+    out = load_model(export_dir).predict({
+        "user_id": np.array([1]), "item_id": np.array([10]),
+        "age": np.array([25]), "gender": np.array(["F"]),
+        "occupation": np.array(["student"]), "zipcode": np.array(["12345"]),
+        "release_year": np.array([1994]),
+    })
+    assert out["probabilities"].shape == (1,)
+
+
+def test_scaled_preset_respects_explicit_flags(synthetic_dir, tmp_path):
+    """A non-default flag set alongside --preset scaled wins over the bundle
+    (the preset only overrides knobs still at their parser defaults)."""
+    mod, args = _args("deep_fm", synthetic_dir, tmp_path, train_steps=1,
+                      save_steps=10**6, preset="scaled", scatter_impl="auto")
+    from rectpu.trainers.common import apply_preset
+
+    args = apply_preset(args)
+    assert args.scatter_impl == "auto"  # explicit non-default flag preserved
+    assert args.flat_layout is True  # defaulted knob overridden
