@@ -99,7 +99,7 @@ def run_sparse(steps=100, batch=8192):
     dt = time.time() - t0
     print(f"sparse 6M-row: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
-def run_sparse_ep(steps=100, batch=8192):
+def run_sparse_ep(steps=100, batch=8192, ep_mode="2d"):
     """The SHARDED sparse code path on one chip (round-3 VERDICT item 1's
     single-chip HW number): packed table + the 2d EP exchange + the
     parallel/sparse_ep shard_map update, on a degenerate (1,1) mesh — the
@@ -117,8 +117,13 @@ def run_sparse_ep(steps=100, batch=8192):
     params = model.init(jax.random.PRNGKey(0))
     plan = ParallelPlan.create(1, 1, table_rows=cfg.padded_buckets)
     plan.ep = True
-    plan.ep_mode = "2d"
-    plan.lookup_fn = make_ep_lookup_2d(plan.mesh)
+    plan.ep_mode = ep_mode
+    if ep_mode == "dedup":
+        from rectpu.parallel.embedding_ep import make_ep_lookup_dedup
+
+        plan.lookup_fn = make_ep_lookup_dedup(plan.mesh)
+    else:
+        plan.lookup_fn = make_ep_lookup_2d(plan.mesh)
     init_opt, step_fn = make_sparse_step(model, learning_rate=0.001, plan=plan)
     opt_state = init_opt(params)
     fj = jax.jit(step_fn, donate_argnums=(0, 1))
@@ -135,7 +140,7 @@ def run_sparse_ep(steps=100, batch=8192):
         p, o, loss = fj(p, o, staged[i % 4], rng, si(i))
     _ = float(loss)
     dt = time.time() - t0
-    print(f"sparse-EP(1x1) 6M-row: {1e3*dt/steps:.3f} ms/step  "
+    print(f"sparse-EP-{ep_mode}(1x1) 6M-row: {1e3*dt/steps:.3f} ms/step  "
           f"{steps*batch/dt:,.0f} ex/s")
 
 import bench as _bench
@@ -143,7 +148,12 @@ def use_scaled():
     global big_feature_set
     big_feature_set = _bench.scaled_feature_set
 
-_RUNNERS = {"dense": run_dense, "sparse": run_sparse, "sparse-ep": run_sparse_ep}
+_RUNNERS = {
+    "dense": run_dense,
+    "sparse": run_sparse,
+    "sparse-ep": run_sparse_ep,
+    "sparse-ep-dedup": lambda: run_sparse_ep(ep_mode="dedup"),
+}
 for a in sys.argv[1:] or ["dense", "sparse"]:
     if a == "scaled":
         use_scaled(); continue

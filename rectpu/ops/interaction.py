@@ -74,6 +74,40 @@ def _fwd_kernel(flat_ref, out_ref, *, num_fields, k, pairs, p_pad):
             out_ref[:, p:p + 1] = red
 
 
+def _fwd_kernel_mxu(flat_ref, out_ref, *, num_fields, k, pairs, p_pad):
+    """Round-3 attempt at the utilization problem (VERDICT weak #6): same
+    pair grouping as _fwd_kernel, but the per-pair LANE REDUCTIONS (the
+    measured bottleneck: 325 VPU reductions + single-column stores) become
+    ONE [TB, m*K] @ [m*K, m] matmul per left field against a block-ones
+    selector built from iota — the reduction rides the MXU and each i's m
+    outputs store as one contiguous slice. Overcomputes nothing (the
+    selector is exact); the MXU work is Σ m_i²K ≈ 17x the useful dot FLOPs,
+    which is the price of skipping the [B, F, K] relayout XLA pays — and the
+    MXU is otherwise idle in this op."""
+    x = flat_ref[:]
+    out_ref[:] = jnp.zeros_like(out_ref)
+    by_i: dict[int, list[tuple[int, int]]] = {}
+    for p, (i, j) in enumerate(pairs):
+        by_i.setdefault(i, []).append((p, j))
+    for i, plist in by_i.items():
+        e_i = x[:, i * k:(i + 1) * k]
+        j_lo = plist[0][1]
+        j_hi = plist[-1][1]
+        m = j_hi - j_lo + 1  # j's are contiguous by construction
+        rest = x[:, j_lo * k:(j_hi + 1) * k]  # [TB, m*K]
+        prod = rest * pltpu.repeat(e_i, m, axis=1)
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (m * k, m), 0) // k
+        csel = jax.lax.broadcasted_iota(jnp.int32, (m * k, m), 1)
+        sel = (rsel == csel).astype(prod.dtype)  # block-ones [m*K, m]
+        red = jax.lax.dot_general(
+            prod, sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TB, m] — every pair (i, j_lo..j_hi) at once
+        p_lo = plist[0][0]
+        out_ref[:, p_lo:p_lo + m] = red
+
+
 def _interact_bwd_xla(flat, g, num_fields, k, itself):
     """Backward as ONE batched matmul: dE_b = C_b E_b with C the
     symmetrized pair-cotangent matrix.
@@ -123,14 +157,16 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def interact_pallas(flat, num_fields: int, k: int, itself: bool = False,
-                    block_rows: int = 256, interpret: bool = False):
+                    block_rows: int = 256, interpret: bool = False,
+                    variant: str = "vpu"):
     return _interact_fwd_impl(flat, num_fields, k, itself, block_rows,
-                              interpret)
+                              interpret, variant)
 
 
-def _interact_fwd_impl(flat, num_fields, k, itself, block_rows, interpret):
+def _interact_fwd_impl(flat, num_fields, k, itself, block_rows, interpret,
+                       variant="vpu"):
     b, d = flat.shape
     assert d == num_fields * k, (d, num_fields, k)
     pairs = _pairs(num_fields, itself)
@@ -140,7 +176,8 @@ def _interact_fwd_impl(flat, num_fields, k, itself, block_rows, interpret):
     if b_pad != b:
         flat = jnp.pad(flat, ((0, b_pad - b), (0, 0)))
     kernel = functools.partial(
-        _fwd_kernel, num_fields=num_fields, k=k, pairs=pairs, p_pad=p_pad)
+        {"vpu": _fwd_kernel, "mxu": _fwd_kernel_mxu}[variant],
+        num_fields=num_fields, k=k, pairs=pairs, p_pad=p_pad)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // block_rows,),
@@ -154,13 +191,15 @@ def _interact_fwd_impl(flat, num_fields, k, itself, block_rows, interpret):
     return out[:b, :n_pairs]
 
 
-def _interact_vjp_fwd(flat, num_fields, k, itself, block_rows, interpret):
+def _interact_vjp_fwd(flat, num_fields, k, itself, block_rows, interpret,
+                      variant):
     out = _interact_fwd_impl(flat, num_fields, k, itself, block_rows,
-                             interpret)
+                             interpret, variant)
     return out, flat
 
 
-def _interact_vjp_bwd(num_fields, k, itself, block_rows, interpret, flat, g):
+def _interact_vjp_bwd(num_fields, k, itself, block_rows, interpret, variant,
+                      flat, g):
     return (_interact_bwd_xla(flat, g, num_fields, k, itself),)
 
 
@@ -219,4 +258,8 @@ def interact_flat(flat, num_fields: int, k: int, itself: bool = False,
     if impl == "pallas":
         return interact_pallas(flat, num_fields, k, itself,
                                256, not _on_tpu())
+    if impl == "pallas-mxu":
+        # round-3 MXU-reduction variant (see _fwd_kernel_mxu)
+        return interact_pallas(flat, num_fields, k, itself,
+                               256, not _on_tpu(), "mxu")
     return interact_xla(flat, num_fields, k, itself)

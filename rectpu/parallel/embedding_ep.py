@@ -168,6 +168,7 @@ def make_ep_lookup_dedup(
     mesh: Mesh,
     peer_capacity: int | None = None,
     comm_compress: str | None = None,
+    scatter_impl: str = "xla",
 ):
     """2D EP lookup exchanging DEDUPLICATED rows via all_to_all.
 
@@ -212,7 +213,8 @@ def make_ep_lookup_dedup(
         b_loc, f = ids_local.shape
         flat_ids = ids_local.reshape(-1).astype(jnp.int32)
         emb = _dedup_exchange(
-            table_shard, flat_ids, n_model, peer_capacity, comm_compress
+            table_shard, flat_ids, n_model, peer_capacity, comm_compress,
+            scatter_impl,
         )
         return emb.reshape(b_loc, f, -1)
 
@@ -222,16 +224,59 @@ def make_ep_lookup_dedup(
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
             out_specs=P((DATA_AXIS, MODEL_AXIS), None, None),
+            # mxu: the backward's pallas_call cannot annotate vma
+            check_vma=scatter_impl != "mxu",
         )(table, ids)
 
     return lookup
 
 
+def _owner_gather_mxu(table_shard):
+    """Owner-side masked gather of the dedup exchange with its transpose
+    routed through the MXU scatter machinery: autodiff's backward would
+    serial-scatter the [M, C, W] returned-row cotangents into the shard
+    (~45 ns/row); this custom VJP dedups the (already per-sender-unique)
+    stream across senders and rebuilds the shard gradient with
+    ops/scatter_rows. The rest of the dedup pipeline's autodiff (expansion-
+    gather transpose, all_to_all transpose) is untouched."""
+    from rectpu.ops.scatter_rows import scatter_rows_dense
+    from rectpu.train.sparse import dedupe_rows
+
+    v_shard, width = table_shard.shape
+    dtype = table_shard.dtype
+
+    @jax.custom_vjp
+    def g2(tbl, local, ok):
+        resp = jnp.take(tbl, jnp.where(ok, local, 0), axis=0)
+        return jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
+
+    def fwd2(tbl, local, ok):
+        return g2(tbl, local, ok), (local, ok)
+
+    def bwd2(res, g):
+        local, ok = res
+        sent = jnp.iinfo(jnp.int32).max // 2
+        ids = jnp.where(ok, local, sent).reshape(-1)
+        gm = (jnp.where(ok[..., None], g, 0)
+              .reshape(-1, width).astype(jnp.float32))
+        rows, rg = dedupe_rows(ids, gm, sent)
+        dtable = scatter_rows_dense(
+            rows, rg, v_shard, out_dtype=jnp.float32,
+            interpret=not _on_tpu(),
+        )
+        return dtable.astype(dtype), None, None
+
+    g2.defvjp(fwd2, bwd2)
+    return lambda local, ok: g2(table_shard, local, ok)
+
+
 def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity,
-                    comm_compress=None):
+                    comm_compress=None, scatter_impl="xla"):
     """Shared dedup all_to_all core: [n] GLOBAL ids -> [n, W] rows, in the
     caller's ordering (see make_ep_lookup_dedup for the algorithm and the
-    capacity contract; comm_compress per _make_row_all_to_all)."""
+    capacity contract; comm_compress per _make_row_all_to_all;
+    scatter_impl="mxu" routes the owner-side gather's transpose through
+    _owner_gather_mxu)."""
     row_all_to_all = _make_row_all_to_all(comm_compress)
     v_shard = table_shard.shape[0]
     n = flat_ids.shape[0]
@@ -271,8 +316,11 @@ def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity,
     m = jax.lax.axis_index(MODEL_AXIS)
     local = req_recv - m * v_shard
     ok = (local >= 0) & (local < v_shard)
-    resp = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)  # [M, C, K]
-    resp = jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
+    if scatter_impl == "mxu":
+        resp = _owner_gather_mxu(table_shard)(local, ok)  # [M, C, K]
+    else:
+        resp = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)
+        resp = jnp.where(ok[..., None], resp, jnp.zeros_like(resp))
     resp_back = row_all_to_all(resp).reshape(m_count * cap, -1)
 
     my_addr = addr[inv]  # [n] buffer slot of each original lookup
@@ -344,6 +392,7 @@ def make_ep_lookup_dedup_flat(
     mesh: Mesh,
     peer_capacity: int | None = None,
     comm_compress: str | None = None,
+    scatter_impl: str = "xla",
 ):
     """Dedup all_to_all exchange emitting the LANE-PACKED flat layout.
 
@@ -367,7 +416,8 @@ def make_ep_lookup_dedup_flat(
             # field-major flatten: rows of field f land at [f*B, (f+1)*B)
             flat_ids = ids_local.T.reshape(-1).astype(jnp.int32)
             rows = _dedup_exchange(
-                table_shard, flat_ids, n_model, peer_capacity, comm_compress
+                table_shard, flat_ids, n_model, peer_capacity, comm_compress,
+                scatter_impl,
             )
             emb_flat = jnp.zeros((b_loc, f_total * k), table_shard.dtype)
             lin = jnp.zeros((b_loc,), jnp.float32)
@@ -388,6 +438,8 @@ def make_ep_lookup_dedup_flat(
             mesh=mesh,
             in_specs=(P(MODEL_AXIS, None), P((DATA_AXIS, MODEL_AXIS), None)),
             out_specs=(P((DATA_AXIS, MODEL_AXIS), None), P((DATA_AXIS, MODEL_AXIS))),
+            # mxu: the backward's pallas_call cannot annotate vma
+            check_vma=scatter_impl != "mxu",
         )(table, ids)
         return emb_flat, (lin if has_lin else None)
 

@@ -90,10 +90,12 @@ class ParallelPlan:
             )
         elif ep_mode == "dedup":
             lookup_fn = make_ep_lookup_dedup(
-                mesh, peer_capacity=ep_peer_capacity, comm_compress=cc
+                mesh, peer_capacity=ep_peer_capacity, comm_compress=cc,
+                scatter_impl=scatter_impl,
             )
             lookup_fn.flat_variant = make_ep_lookup_dedup_flat(
-                mesh, peer_capacity=ep_peer_capacity, comm_compress=cc
+                mesh, peer_capacity=ep_peer_capacity, comm_compress=cc,
+                scatter_impl=scatter_impl,
             )
         else:
             if cc is not None:

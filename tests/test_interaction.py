@@ -128,3 +128,26 @@ def test_xla_fast_bwd_matches_autodiff(itself, rng):
     ga = jax.grad(lambda x: (interact_xla(x, f, k, itself) * g).sum())(flat)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(ga),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("itself", [False, True])
+def test_pallas_mxu_variant_matches_oracle(itself, rng):
+    """The round-3 MXU-reduction variant (block-ones matmul per left field,
+    _fwd_kernel_mxu) matches the XLA oracle, values and grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from rectpu.ops.interaction import interact_flat, interact_xla
+
+    b, f, k = 48, 26, 16
+    flat = jnp.asarray(rng.normal(size=(b, f * k)).astype(np.float32))
+    ref = interact_xla(flat, f, k, itself)
+    got = interact_flat(flat, f, k, itself, impl="pallas-mxu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda x: jnp.sum(interact_xla(x, f, k, itself)))(flat)
+    g_got = jax.grad(
+        lambda x: jnp.sum(interact_flat(x, f, k, itself, impl="pallas-mxu"))
+    )(flat)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)

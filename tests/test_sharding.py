@@ -664,3 +664,46 @@ def test_sharded_flat_train_step_mxu_matches_single_device(rng, fm_order):
         ),
         jax.device_get(p_ref), jax.device_get(p_out),
     )
+
+
+@pytest.mark.parametrize("flat", [False, True])
+def test_ep_dedup_grad_mxu_matches_xla(rng, flat):
+    """scatter_impl='mxu' on the dedup exchanges: the owner-side gather's
+    transpose (dedup + scatter_rows rebuild) equals autodiff's scatter."""
+    from rectpu.ops.embedding import lookup_flat
+    from rectpu.parallel.embedding_ep import (
+        make_ep_lookup_dedup,
+        make_ep_lookup_dedup_flat,
+    )
+
+    mesh = make_mesh(2, 4)
+    fs = ml_100k_feature_set()
+    v, k = -(-fs.total_buckets // 8) * 8, 4
+    ids = jnp.asarray(_batch(fs, 16, rng)["cat_ids"])
+
+    if flat:
+        table = jnp.asarray(rng.normal(size=(v, k + 1)).astype(np.float32))
+        w_emb = jnp.asarray(
+            rng.normal(size=(16, fs.num_fields * k)).astype(np.float32))
+
+        def obj(fn):
+            def f(t):
+                emb, lin = fn(t, ids)
+                return jnp.sum(w_emb * emb) + jnp.sum(lin)
+            return jax.grad(f)(table)
+
+        g_x = obj(make_ep_lookup_dedup_flat(mesh))
+        g_m = obj(make_ep_lookup_dedup_flat(mesh, scatter_impl="mxu"))
+    else:
+        table = jnp.asarray(rng.normal(size=(v, k)).astype(np.float32))
+        w3 = jnp.asarray(
+            rng.normal(size=(16, fs.num_fields, k)).astype(np.float32))
+
+        def obj(fn):
+            return jax.grad(lambda t: jnp.sum(w3 * fn(t, ids)))(table)
+
+        g_x = obj(make_ep_lookup_dedup(mesh))
+        g_m = obj(make_ep_lookup_dedup(mesh, scatter_impl="mxu"))
+
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_x),
+                               rtol=1e-5, atol=1e-6)
