@@ -124,6 +124,8 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
     int_impls = {
         "xla": lambda x: int_ops.interact_flat(x, num_fields, k, impl="xla"),
         "pallas": lambda x: int_ops.interact_flat(x, num_fields, k, impl="pallas"),
+        "pallas-mxu": lambda x: int_ops.interact_flat(
+            x, num_fields, k, impl="pallas-mxu"),
     }
     for name, fn in int_impls.items():
         t = _time(fn, v2)

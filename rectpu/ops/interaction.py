@@ -235,7 +235,7 @@ _INTERACT_AUTO = {"tpu": "xla", "other": "xla"}
 
 
 def set_interact_auto_impl(name: str, on_tpu: bool = True) -> None:
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "pallas-mxu"), name
     _INTERACT_AUTO["tpu" if on_tpu else "other"] = name
 
 

@@ -44,9 +44,14 @@ def dedupe_rows(ids: jax.Array, grads: jax.Array, num_rows: int):
     new_run = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
-    seg = jnp.cumsum(new_run) - 1  # [R] in [0, U)
-    row_grads = jax.ops.segment_sum(grads[order], seg, num_segments=r)
-    rows = jnp.full((r,), num_rows, dtype=ids.dtype).at[seg].set(sorted_ids)
+    seg = jnp.cumsum(new_run) - 1  # [R] in [0, U), nondecreasing
+    row_grads = jax.ops.segment_sum(
+        grads[order], seg, num_segments=r, indices_are_sorted=True
+    )
+    rows = (
+        jnp.full((r,), num_rows, dtype=ids.dtype)
+        .at[seg].set(sorted_ids, indices_are_sorted=True)
+    )
     return rows, row_grads
 
 
@@ -63,8 +68,11 @@ def sparse_adam_rows(
 ):
     """Lazy-Adam update of ``params[rows]`` (out-of-range rows dropped).
 
-    ``lr_t`` is the bias-corrected rate lr*sqrt(1-b2^t)/(1-b1^t) computed by
-    the caller from the shared step counter.
+    ``rows`` must be SORTED unique ids with a trailing out-of-range sentinel
+    run — i.e. exactly ``dedupe_rows``'s output (the sorted hint lets XLA
+    skip its scatter conflict handling). ``lr_t`` is the bias-corrected rate
+    lr*sqrt(1-b2^t)/(1-b1^t) computed by the caller from the shared step
+    counter.
     """
     grads_dtype = params.dtype
     row_grads = row_grads.astype(grads_dtype)
@@ -72,9 +80,9 @@ def sparse_adam_rows(
     v_rows = v[rows] * beta2 + jnp.square(row_grads) * (1 - beta2)
     p_rows = params[rows] - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
     # duplicate sentinel rows all carry identical content; 'drop' discards OOB
-    m = m.at[rows].set(m_rows, mode="drop")
-    v = v.at[rows].set(v_rows, mode="drop")
-    params = params.at[rows].set(p_rows, mode="drop")
+    m = m.at[rows].set(m_rows, mode="drop", indices_are_sorted=True)
+    v = v.at[rows].set(v_rows, mode="drop", indices_are_sorted=True)
+    params = params.at[rows].set(p_rows, mode="drop", indices_are_sorted=True)
     return params, m, v
 
 

@@ -54,12 +54,15 @@ def build_parser() -> ArgumentParser:
                         help="include self-interactions (the diagonal) in the "
                              "pairwise-dot block")
     parser.add_argument("--interaction-impl", default="auto",
-                        choices=["auto", "xla", "pallas", "xla-autodiff"],
+                        choices=["auto", "xla", "pallas", "pallas-mxu",
+                                 "xla-autodiff"],
                         help="pairwise-dot implementation (ops/interaction.py): "
-                             "auto/xla = batched-matmul forward + the fast "
+                             "auto = the autotuner's pin (xla until tuned); "
+                             "xla = batched-matmul forward + the fast "
                              "gather-C backward; pallas = fused VPU pair-dot "
-                             "forward; xla-autodiff = plain autodiff oracle "
-                             "(default: %(default)s)")
+                             "forward; pallas-mxu = relayout-free forward with "
+                             "block-ones MXU reductions; xla-autodiff = plain "
+                             "autodiff oracle (default: %(default)s)")
     parser.add_argument("--optimizer", default="Adam",
                         choices=["Adagrad", "Adam", "Ftrl", "RMSProp", "SGD"],
                         help="optimizer (default: %(default)s)")

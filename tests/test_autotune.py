@@ -61,6 +61,6 @@ def test_autotune_with_field_info():
     # the dispatcher state the next jit will read
     assert result["flat_scatter"] in ("xla", "mxu")
     assert result["fm_flat"] in ("xla", "pallas")
-    assert result["interact"] in ("xla", "pallas")
+    assert result["interact"] in ("xla", "pallas", "pallas-mxu")
     key = "tpu" if emb_ops._on_tpu() else "other"
     assert emb_ops._FLAT_SCATTER_AUTO[key] == result["flat_scatter"]

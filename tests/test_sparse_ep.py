@@ -187,3 +187,32 @@ def test_fast_step_auto_and_validation(synthetic_dir, tmp_path):
     args = parser.parse_args(base + ["--fast-step", "on", "--optimizer", "Adagrad"])
     with pytest.raises(ValueError, match="requires Adam"):
         mod.train_and_evaluate(args)
+
+
+def test_fast_step_restore_resumes_exactly(synthetic_dir, tmp_path):
+    """The fast-step opt state (m/v sparse+rest trees + t counter) rides the
+    checkpointer: 200+200 steps with a restore equals one 400-step run."""
+    import importlib
+
+    mod = importlib.import_module("rectpu.trainers.deep_fm")
+
+    def run(tag, steps, restore=False):
+        argv = [
+            "--train-csv", synthetic_dir["train"],
+            "--test-csv", synthetic_dir["test"],
+            "--job-dir", str(tmp_path / tag),
+            "--train-steps", str(steps),
+            "--batch-size", "64",
+            "--steps-per-loop", "50",
+            "--save-checkpoints-steps", "200",
+            "--fast-step", "on",
+            "--packed-linear",
+        ] + (["--restore"] if restore else [])
+        return mod.train_and_evaluate(mod.build_parser().parse_args(argv))
+
+    m_single = run("a", 400)
+    run("b", 200)
+    m_resumed = run("b", 400, restore=True)
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(m_single[key], m_resumed[key], rtol=1e-6, atol=1e-7), (
+            key, m_single, m_resumed)
