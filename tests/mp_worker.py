@@ -27,6 +27,7 @@ def main():
     comm_compress = sys.argv[9] if len(sys.argv) > 9 else "none"
     comm_compress = None if comm_compress == "none" else comm_compress
     family = sys.argv[10] if len(sys.argv) > 10 else "deep_fm"
+    fast = len(sys.argv) > 11 and sys.argv[11] == "1"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -62,13 +63,19 @@ def main():
     )
     tc = TrainConfig(batch_size=64, train_steps=200, steps_per_loop=50,
                      save_checkpoints_steps=10**6, async_checkpoint=False)
+    fast_step = None
+    if fast:
+        from rectpu.train.fast_step import make_sparse_step
+
+        fast_step = make_sparse_step(model, learning_rate=0.001, plan=plan)
     trainer = Trainer(
         model, model.default_optimizer(), train_ds, eval_ds,
         os.path.join(
             data_dir,
-            f"job_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}_{family}",
+            f"job_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_"
+            f"{comm_compress}_{family}_fs{int(fast)}",
         ),
-        tc, plan=plan,
+        tc, plan=plan, fast_step=fast_step,
     )
     metrics = trainer.train_and_evaluate(restore=False)
 

@@ -23,15 +23,16 @@ def _free_port():
 
 
 def _run(nproc, data_dir, tmp_path, model_shards=1, flat=False,
-         ep_mode="2d", comm_compress="none", family="deep_fm"):
+         ep_mode="2d", comm_compress="none", family="deep_fm", fast=False):
     out = (tmp_path /
-           f"out_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_{comm_compress}_{family}.json")
+           f"out_np{nproc}_m{model_shards}_f{int(flat)}_{ep_mode}_"
+           f"{comm_compress}_{family}_fs{int(fast)}.json")
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), str(nproc), coordinator,
              str(data_dir), str(out), str(model_shards), str(int(flat)),
-             ep_mode, comm_compress, family],
+             ep_mode, comm_compress, family, str(int(fast))],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=str(WORKER.parent.parent),
         )
@@ -157,4 +158,26 @@ def test_two_process_ep_dlrm(tmp_path):
     for key in ("auc", "average_loss", "accuracy"):
         assert np.isclose(single["metrics"][key], multi["metrics"][key],
                           rtol=1e-4, atol=1e-5), (key, single, multi)
+    assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo CPU collectives")
+def test_two_process_sparse_ep_fast_step_matches_single(tmp_path):
+    """The sparse lazy-Adam EP fast step across 2 REAL OS processes (Gloo):
+    the deduped (row, grad) all_to_all + per-shard update reproduce the
+    single-process run (round-3 flagship composition, cross-process)."""
+    from rectpu.data.synthetic import write_synthetic_dataset
+
+    data_dir = tmp_path / "data"
+    write_synthetic_dataset(data_dir, train_rows=2000, test_rows=512, seed=13)
+
+    single = _run(1, data_dir, tmp_path, model_shards=1, flat=True,
+                  ep_mode="dedup", fast=True)
+    multi = _run(2, data_dir, tmp_path, model_shards=2, flat=True,
+                 ep_mode="dedup", fast=True)
+
+    assert multi["metrics"]["count"] == 512
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(single["metrics"][key], multi["metrics"][key],
+                          rtol=1e-5, atol=1e-6), (key, single, multi)
     assert np.isclose(single["param_digest"], multi["param_digest"], rtol=1e-5)
