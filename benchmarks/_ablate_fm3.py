@@ -52,7 +52,6 @@ def step_ms(fm_order: int, staged, repeats=5) -> float:
         return (params, opt_state, step + 1)
 
     fj = jax.jit(train, donate_argnums=(0,))
-    x0 = (params, opt.init(params), jnp.asarray(0, jnp.int32))
     # rotate the staged batches per DISPATCHED step (host-side counter, the
     # same feeding pattern as bench.py) — a fixed batch per run flatters the
     # step with cache-warm gathers on identical ids (round-2 ADVICE)
@@ -63,7 +62,12 @@ def step_ms(fm_order: int, staged, repeats=5) -> float:
         counter["i"] += 1
         return fj(c, b)
 
-    ms = min(chained_slope_ms(step, x0) for _ in range(repeats))
+    def fresh_x0():
+        # the carry is DONATED — every chained_slope repeat needs live buffers
+        p = model.init(jax.random.PRNGKey(0))
+        return (p, opt.init(p), jnp.asarray(0, jnp.int32))
+
+    ms = min(chained_slope_ms(step, fresh_x0()) for _ in range(repeats))
     log(f"fm_order={fm_order}: {ms:.3f} ms/step")
     return ms
 

@@ -37,6 +37,10 @@ def main():
         jnp.asarray(rng.normal(size=(B, F * K)).astype(np.float32))
         .astype(jnp.bfloat16))
 
+    # forward-only A/B. (A grad-based "fwd+bwd" A/B is MEANINGLESS for the
+    # Pallas variants: their custom VJP saves only `flat` as residual, so
+    # jax.grad DCEs the forward kernel entirely and all impls time the same
+    # shared XLA backward.)
     for impl in ("xla", "pallas", "pallas-mxu"):
         f = jax.jit(lambda x, impl=impl: interact_flat(x, F, K, impl=impl))
 
@@ -46,17 +50,6 @@ def main():
 
         ms = min(chained_slope_ms(chain, flat, (20, 60)) for _ in range(5))
         log(f"interact fwd {impl:11s}: {ms:.3f} ms")
-
-    for impl in ("xla", "pallas-mxu"):
-        g = jax.jit(jax.grad(
-            lambda x, impl=impl: jnp.sum(
-                interact_flat(x, F, K, impl=impl).astype(jnp.float32))))
-
-        def chain(x):
-            return x + (g(x) * 1e-12).astype(x.dtype)
-
-        ms = min(chained_slope_ms(chain, flat, (20, 60)) for _ in range(5))
-        log(f"interact fwd+bwd {impl:11s}: {ms:.3f} ms")
 
 
 if __name__ == "__main__":

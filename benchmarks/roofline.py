@@ -44,18 +44,22 @@ def time_op(make_out, x_const, iters=(20, 60), repeats=3) -> float:
     x + s*1e-30 (a fused broadcast-add, no extra HBM traffic) and the next
     iteration's scalar is derived from one element of the output, so
     dispatches serialize and the full output stays live (it is a jit
-    output)."""
+    output). ``x_const`` is passed as a jit ARGUMENT — a closure capture
+    would bake multi-GB constants into the HLO and kill the remote
+    compiler (learned the hard way, twice)."""
 
     @jax.jit
-    def step(s):
+    def step(s, xc):
         out = make_out(
-            jax.tree.map(lambda x: x + (s * 1e-30).astype(x.dtype), x_const)
+            jax.tree.map(lambda x: x + (s * 1e-30).astype(x.dtype), xc)
         )
         leaf = jax.tree_util.tree_leaves(out)[0]
         return s + leaf.ravel()[0].astype(jnp.float32) * 1e-12, out
 
+    x_dev = jax.tree.map(jax.device_put, x_const)
+
     def chain(s):
-        s2, _ = step(s)
+        s2, _ = step(s, x_dev)
         return s2
 
     return chained_slope_s(chain, jnp.zeros((), jnp.float32), iters,
@@ -71,19 +75,27 @@ def probe_rates():
     bw = 2 * n * 4 / t / 1e9
     m = 4096
     a = jnp.ones((m, m), jnp.bfloat16)
-    t2 = time_op(lambda v: jnp.dot(v, a, preferred_element_type=jnp.float32)
+    t2 = time_op(lambda v: jnp.dot(v, v, preferred_element_type=jnp.float32)
                  .astype(jnp.bfloat16), a)
     mxu = 2 * m**3 / t2 / 1e12
-    log(f"probes: stream {bw:.0f} GB/s, MXU bf16 {mxu:.1f} TFLOP/s")
-    return bw, mxu
+    # random-row gather floor at the table shape (latency-bound, NOT
+    # bandwidth): the per-row cost every big-field gather pays
+    vr = 311296
+    tb = jnp.zeros((vr, W), jnp.bfloat16)
+    idr = jnp.asarray(
+        np.random.default_rng(7).integers(0, vr, size=3 * B).astype(np.int32))
+    t3 = time_op(lambda d: jnp.take(d["t"], d["i"], axis=0),
+                 {"t": tb, "i": idr})
+    row_ns = t3 / (3 * B) * 1e9
+    log(f"probes: stream {bw:.0f} GB/s, MXU bf16 {mxu:.1f} TFLOP/s, "
+        f"random-row gather {row_ns:.1f} ns/row")
+    return bw, mxu, row_ns
 
 
 def main():
     from rectpu.models import DeepFMModel, TowerConfig
     from rectpu.ops.embedding import lookup_flat
     from rectpu.ops.fm import fm_cross_flat
-    from rectpu.ops.scatter_rows import scatter_rows_dense
-    from rectpu.train.metrics import sigmoid_xent
     from rectpu.train.optimizers import BF16_SR, adam
 
     fs = scaled_feature_set()
@@ -105,7 +117,7 @@ def main():
     ids = jax.device_put(jnp.asarray(sb["cat_ids"][0]))
     fk = fs.num_fields * K
 
-    bw, mxu = probe_rates()
+    bw, mxu, row_ns = probe_rates()
     gb, tf = bw * 1e9, mxu * 1e12
 
     small = [f for f in range(fs.num_fields) if sizes[f] <= 4096]
@@ -116,9 +128,14 @@ def main():
 
     rows = []  # (name, measured_s, bound_s, basis)
 
+    def add(row):
+        rows.append(row)
+        name, t, b, basis = row
+        log(f"  {name}: {1e3*t:.3f} ms (bound {1e3*b:.3f} ms) [{basis}]")
+
     # 1. f32 master -> bf16 gather recast (full-table read f32 + write bf16)
     t = time_op(lambda x: x.astype(jnp.bfloat16), table_f32)
-    rows.append(("gather recast f32->bf16", t, v_rows * W * 6 / gb,
+    add(("gather recast f32->bf16", t, v_rows * W * 6 / gb,
                  f"{v_rows*W*6/1e6:.0f} MB @ stream"))
 
     # 2. lookup_flat forward (blockdiag MXU chain + 3 big-field gathers),
@@ -126,34 +143,34 @@ def main():
     t = time_op(
         lambda x: lookup_flat(x, ids, field_info, K)[0], table_bf16
     )
-    fwd_bytes = (len(huge) + len(medium)) * B * W * 2 + B * fk * 2
+    n_gather = (len(huge) + len(medium)) * B
+    fwd_bytes = B * fk * 2  # flat output write
     fwd_flops = 2 * B * s_total * (fk + 1)  # multihot @ blockdiag
-    rows.append(("lookup_flat fwd", t, fwd_bytes / gb + fwd_flops / tf,
-                 f"{fwd_bytes/1e6:.0f} MB @ stream + {fwd_flops/1e9:.1f} GF @ MXU"))
+    fwd_bound = n_gather * row_ns * 1e-9 + fwd_bytes / gb + fwd_flops / tf
+    add(("lookup_flat fwd", t, fwd_bound,
+         f"{n_gather/1e3:.0f}k rows @ {row_ns:.0f} ns (latency) + "
+         f"{fwd_bytes/1e6:.0f} MB + {fwd_flops/1e9:.1f} GF"))
 
     # 3. table-cotangent build (the mxu backward: merged sorted stream ->
     #    per-tile one-hot matmuls + medium-field one-hot rebuilds)
-    def table_grad(x):
-        def obj(t_):
-            emb, lin = lookup_flat(
-                t_, ids, field_info, K, gather_dtype=jnp.bfloat16,
-                grad_dtype=jnp.bfloat16, scatter_impl="mxu",
-            )
-            return jnp.sum(emb.astype(jnp.float32)) + jnp.sum(lin)
-        return jax.grad(obj)(x)
-
-    t_full = time_op(table_grad, table_f32)
-    t_fwd_part = time_op(
-        lambda x: lookup_flat(x, ids, field_info, K, gather_dtype=jnp.bfloat16,
-                              grad_dtype=jnp.bfloat16, scatter_impl="mxu")[0],
+    # time ONLY the transpose: jax.vjp precomputes the forward + residuals
+    # once outside the timed region (residuals are small: ids + the [B, S]
+    # multihot), then the vjp closure is the pure backward
+    _, vjp_fn = jax.vjp(
+        lambda t_: lookup_flat(t_, ids, field_info, K,
+                               gather_dtype=jnp.bfloat16,
+                               grad_dtype=jnp.bfloat16, scatter_impl="mxu"),
         table_f32,
     )
-    t = max(t_full - t_fwd_part, 0.0)
+    d_emb0 = jnp.ones((B, fk), jnp.bfloat16)
+    d_lin0 = jnp.ones((B,), jnp.float32)
+    t = time_op(lambda d: vjp_fn((d["e"], d["l"]))[0],
+                {"e": d_emb0, "l": d_lin0})
     g_tiles = v_rows // 2048
     stream_rows = len(huge) * B + s_total
     bwd_bytes = v_rows * W * 2 + stream_rows * W * 6  # dtable write + stream rw
     med_flops = sum(2 * B * sizes[f] * W for f in medium)
-    rows.append(("table-grad build (bwd-fwd)", t,
+    add(("table-grad build (vjp)", t,
                  g_tiles * 1.3e-6 + bwd_bytes / gb + med_flops / tf,
                  f"{g_tiles} tiles @ 1.3us grid floor + {bwd_bytes/1e6:.0f} MB "
                  f"@ stream + {med_flops/1e9:.1f} GF"))
@@ -166,7 +183,7 @@ def main():
                                              .astype(jnp.float32)))(x), v2)
     fm_bytes = 3 * B * fk * 2  # read v2 (fwd) + read v2 + write dv2 (bwd)
     fm_flops = 3 * 2 * B * fk  # stacked-identity matmuls, fwd + 2x bwd
-    rows.append(("FM fwd+bwd", t, fm_bytes / gb + fm_flops / tf,
+    add(("FM fwd+bwd", t, fm_bytes / gb + fm_flops / tf,
                  f"{fm_bytes/1e6:.0f} MB @ stream"))
 
     # 5. DNN towers fwd+bwd (3 matmul layers, x3 for fwd/dgrad/wgrad)
@@ -188,7 +205,7 @@ def main():
     dims = [fk] + list(HIDDEN) + [1]
     mlp_flops = 3 * sum(2 * B * dims[i] * dims[i + 1] for i in range(len(dims) - 1))
     mlp_bytes = 4 * B * fk * 2  # the wide activation dominates
-    rows.append(("DNN towers fwd+bwd", t, mlp_flops / tf + mlp_bytes / gb,
+    add(("DNN towers fwd+bwd", t, mlp_flops / tf + mlp_bytes / gb,
                  f"{mlp_flops/1e9:.1f} GF @ MXU + {mlp_bytes/1e6:.0f} MB"))
 
     # 6. Adam table sweep (bf16 m + bf16-sr v slots) incl. write-back
@@ -198,13 +215,15 @@ def main():
     state0 = opt.init(tbl)
     g_tbl = {"table": table_bf16 * 1e-3}
 
-    def sweep(g):
-        p2, s2 = opt.update(g, state0, tbl)
-        return p2["table"]
+    def sweep(d):
+        p2, s2 = opt.update(d["g"], d["s"], d["p"])
+        return p2["table"], s2  # all outputs live or the m/v writes DCE
 
-    t = time_op(sweep, g_tbl)
+    # everything rides as arguments (multi-GB closure constants kill the
+    # remote compiler)
+    t = time_op(sweep, {"g": g_tbl, "s": state0, "p": tbl})
     sweep_bytes = v_rows * W * (4 + 2 + 2 + 2 + 4 + 2 + 2)
-    rows.append(("Adam sweep + write-back", t, sweep_bytes / gb,
+    add(("Adam sweep + write-back", t, sweep_bytes / gb,
                  f"{sweep_bytes/1e6:.0f} MB @ stream"))
 
     # 7. hash dropout masks (two hidden activations)
@@ -219,42 +238,14 @@ def main():
 
     t = time_op(masks, jnp.ones((1,), jnp.float32))
     mask_bytes = B * sum(HIDDEN)
-    rows.append(("hash dropout masks", t, mask_bytes / gb,
+    add(("hash dropout masks", t, mask_bytes / gb,
                  f"{B*sum(HIDDEN)/1e6:.1f}M elems @ ~8 VPU ops"))
 
-    # --- the full step, same harness as bench.py --------------------------
-    optimizer = adam(learning_rate=0.001,
-                     slot_dtype={"m": jnp.bfloat16, "v": BF16_SR})
-    opt_state = optimizer.init(params)
-    prng = jax.random.PRNGKey(1)
-    sb8 = random_superbatch(fs, 8, B)
-    staged = [{kk: jax.device_put(v[i]) for kk, v in sb8.items()}
-              for i in range(8)]
+    # --- the full step: the bench.py harness itself (donated buffers +
+    # two-point slope + real loss fetch — the number of record's method)
+    from bench import bench_tpu
 
-    def train_one(carry, b):
-        p, s, step_i = carry
-
-        def loss_fn(pp):
-            logits = model.apply(pp, b, train=True,
-                                 rng=jax.random.fold_in(prng, step_i))
-            return sigmoid_xent(logits, b["labels"]).mean()
-
-        _, grads = jax.value_and_grad(loss_fn)(p)
-        p, s = optimizer.update(grads, s, p)
-        return (p, s, step_i + 1)
-
-    fj = jax.jit(train_one, donate_argnums=(0,))
-    counter = {"i": 0}
-
-    def chain(c):
-        b = staged[counter["i"] % 8]
-        counter["i"] += 1
-        return fj(c, b)
-
-    step_s = min(
-        chained_slope_s(chain, (params, opt_state, jnp.asarray(0, jnp.int32)),
-                        (40, 120))
-        for _ in range(3))
+    step_s = B / bench_tpu(B, steps=120)["examples_per_sec"]
 
     # --- report -----------------------------------------------------------
     comp_sum = sum(r[1] for r in rows)

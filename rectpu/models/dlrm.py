@@ -47,7 +47,8 @@ class DLRMModel:
                  interaction_impl: str = "auto"):
         if cfg.num_fields + cfg.num_numeric == 0:
             raise ValueError("DLRM needs at least one sparse or dense feature")
-        if interaction_impl not in ("auto", "xla", "pallas", "xla-autodiff"):
+        if interaction_impl not in ("auto", "xla", "pallas", "pallas-mxu",
+                                    "xla-autodiff"):
             raise ValueError(f"unknown interaction_impl: {interaction_impl}")
         self.cfg = cfg
         self.bot_hidden_units = tuple(bot_hidden_units)

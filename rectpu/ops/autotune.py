@@ -113,10 +113,16 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
         "xla": lambda x: fm_ops.fm_cross_flat(x, num_fields, k),
         "pallas": lambda x: fm_ops.fm_cross_flat_pallas(x, num_fields, k),
     }
+
+    def fwd_bwd(fn):
+        # value_and_grad, NOT grad: these are custom-VJP ops whose residual
+        # is just the input — plain grad DCEs the forward kernel entirely
+        # and every impl times the same shared backward
+        return lambda x: jax.value_and_grad(
+            lambda y: jnp.sum(fn(y).astype(jnp.float32)))(x)
+
     for name, fn in fm_flat_impls.items():
-        t = _time(fn, v2)
-        t += _time(jax.grad(lambda x, fn=fn: jnp.sum(fn(x).astype(jnp.float32))), v2)
-        results[f"fm_flat/{name}"] = t
+        results[f"fm_flat/{name}"] = _time(fwd_bwd(fn), v2)
     best_fm_flat = min(fm_flat_impls, key=lambda n: results[f"fm_flat/{n}"])
     fm_ops.set_flat_auto_impl(best_fm_flat, on_tpu=on_tpu)
 
@@ -128,9 +134,7 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
             x, num_fields, k, impl="pallas-mxu"),
     }
     for name, fn in int_impls.items():
-        t = _time(fn, v2)
-        t += _time(jax.grad(lambda x, fn=fn: jnp.sum(fn(x).astype(jnp.float32))), v2)
-        results[f"interact_flat/{name}"] = t
+        results[f"interact_flat/{name}"] = _time(fwd_bwd(fn), v2)
     best_int = min(int_impls, key=lambda n: results[f"interact_flat/{n}"])
     int_ops.set_interact_auto_impl(best_int, on_tpu=on_tpu)
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from rectpu.ops.embedding import _on_tpu
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 COMM_COMPRESS_MODES = (None, "bf16", "int8")
@@ -324,11 +325,49 @@ def _dedup_exchange(table_shard, flat_ids, n_model, peer_capacity,
     resp_back = row_all_to_all(resp).reshape(m_count * cap, -1)
 
     my_addr = addr[inv]  # [n] buffer slot of each original lookup
-    emb = jnp.where(
-        valid_send[inv][:, None],
-        jnp.take(resp_back, jnp.where(valid_send[inv], my_addr, 0), axis=0),
-        0.0,
-    )
+    valid_lk = valid_send[inv]
+    my_addr_safe = jnp.where(valid_lk, my_addr, 0)
+
+    # expansion with a sort-reusing transpose: autodiff of the gather would
+    # serial-scatter all n cotangent rows into the [M*C] buffer (~45 ns/row
+    # — the dominant backward op for n = B_loc*F lookups). The forward's
+    # dedup structure already orders everything: g[order] groups duplicate
+    # ids contiguously (segment_sum with the sorted hint), and the per-slot
+    # buffer address is STRICTLY INCREASING over valid slots when the
+    # capacity is lossless (peer nondecreasing in sorted-id order,
+    # pos_in_peer increasing within a peer) — so the remaining scatter is a
+    # sorted unique-index write. A tightened capacity interleaves dropped
+    # slots and breaks monotonicity; the hint is gated off then.
+    sorted_ok = peer_capacity is None
+    mc = m_count * cap
+    rb_dtype = resp_back.dtype
+
+    @jax.custom_vjp
+    def expand(rb, aux):
+        ma, vl, _, _, _ = aux
+        return jnp.where(
+            vl[:, None], jnp.take(rb, ma, axis=0), 0.0
+        )
+
+    def expand_fwd(rb, aux):
+        return expand(rb, aux), aux
+
+    def expand_bwd(aux, g):
+        _, vl, order_, uslot_, addr_s = aux
+        d_unique = jax.ops.segment_sum(
+            jnp.take(g, order_, axis=0), uslot_, num_segments=g.shape[0],
+            indices_are_sorted=True,
+        )  # [n, W] per-unique-slot sums, fwd sort structure reused
+        d_rb = (
+            jnp.zeros((mc, g.shape[1]), rb_dtype)
+            .at[addr_s]
+            .add(d_unique.astype(rb_dtype), mode="drop",
+                 indices_are_sorted=sorted_ok, unique_indices=sorted_ok)
+        )
+        return d_rb, None
+
+    expand.defvjp(expand_fwd, expand_bwd)
+    emb = expand(resp_back, (my_addr_safe, valid_lk, order, uslot, addr_safe))
     return emb
 
 
@@ -373,19 +412,12 @@ def _mxu_shard_cotangent(ids_full, d_emb_full, d_lin_full, mi, v_shard, k,
     )
     dtable = scatter_rows_dense(
         rows, row_g, v_shard,
-        tile_rows=tile_rows,
+        tile_rows=tile_rows,  # None defers to the autotuned pin (set_auto_tile)
         capacity=capacity,
         out_dtype=jnp.float32,
         interpret=interpret,
     )
     return dtable.astype(table_dtype)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
 
 
 def make_ep_lookup_dedup_flat(
@@ -474,7 +506,8 @@ def make_ep_lookup(mesh: Mesh):
 
 
 def make_ep_lookup_flat(mesh: Mesh, scatter_impl: str = "xla",
-                        scatter_tile_rows: int = 2048, scatter_capacity: int = 512):
+                        scatter_tile_rows: int | None = None,
+                        scatter_capacity: int | None = None):
     """1D EP lookup emitting the LANE-PACKED flat layout.
 
     Same exchange as ``make_ep_lookup`` (masked local gather, psum over
@@ -572,8 +605,8 @@ def make_ep_lookup_flat(mesh: Mesh, scatter_impl: str = "xla",
 
 def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None,
                            scatter_impl: str = "xla",
-                           scatter_tile_rows: int = 2048,
-                           scatter_capacity: int = 512):
+                           scatter_tile_rows: int | None = None,
+                           scatter_capacity: int | None = None):
     """2D EP lookup emitting the LANE-PACKED flat layout directly.
 
     Same exchange as ``make_ep_lookup_2d`` (id all_gather over 'model',

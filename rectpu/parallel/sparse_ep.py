@@ -9,7 +9,8 @@ sharding matters (dense sweep 22.5 ms vs sparse 1.77 ms at 6M rows,
 RESULTS.md) is exactly the regime where a dense per-shard optimizer sweep is
 unaffordable.
 
-The update is one shard_map over the ('data','model') mesh. Per device:
+Row routing runs in one shard_map over the ('data','model') mesh. Per
+device:
 
   1. dedup the local [B_loc, F] (id, cotangent-row) pairs — sort +
      segment-sum, static shapes (train/sparse.dedupe_rows); a batch slice's
@@ -21,10 +22,17 @@ The update is one shard_map over the ('data','model') mesh. Per device:
      a table shard sees every data shard's contributions (the table is
      replicated along 'data'; identical inputs keep the replicas bitwise in
      sync);
-  4. dedup-sum again (cross-source collisions) and apply TF-style lazy Adam
-     to exactly the owned touched rows (train/sparse.sparse_adam_rows):
-     untouched rows keep stale m/v and receive no step, matching
-     ``tf.train.AdamOptimizer._apply_sparse``.
+  4. dedup-sum again (cross-source collisions), GATHER the current
+     p/m/v rows of the touched ids, and compute their TF-style lazy-Adam
+     updates (untouched rows keep stale m/v and receive no step, matching
+     ``tf.train.AdamOptimizer._apply_sparse``).
+
+The shard_map emits only SMALL per-row tensors (global ids + updated
+p/m/v rows); the scatters into the big [V, W] state run OUTSIDE it, in the
+caller's jit, where XLA's buffer donation aliases them in place. Profiled
+motivation (v5e, 6M-row table): updating the state INSIDE the shard_map
+forced six full-table copies (~43 ms of a 97 ms step) plus copy-through
+scatters — shard_map sub-computations do not inherit the outer donation.
 
 Wire volume is unique-rows * W per hop — never a dense [V, W] gradient, and
 never a dense optimizer sweep. The all_to_all capacity uses the provably
@@ -42,7 +50,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from rectpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from rectpu.train.sparse import dedupe_rows, sparse_adam_rows
+from rectpu.train.sparse import dedupe_rows
 
 
 def make_sparse_rows_ep(
@@ -65,7 +73,11 @@ def make_sparse_rows_ep(
     n_model = mesh.shape[MODEL_AXIS]
     batch_axes = (DATA_AXIS, MODEL_AXIS) if batch_2d else DATA_AXIS
 
-    def local_update(table, m, v, ids, dl, lr_t):
+    def local_rows(table, m, v, ids, dl, lr_t):
+        """Per-device: route cotangent rows to this shard, compute the
+        updated p/m/v ROW VALUES. Returns (global_rows, p_rows, m_rows,
+        v_rows) — small [L(, W)] tensors; non-owned/sentinel entries carry
+        the out-of-range id V (dropped by the caller's scatters)."""
         v_shard, w = table.shape
         v_total = v_shard * n_model
         flat_ids = ids.reshape(-1).astype(jnp.int32)
@@ -114,18 +126,27 @@ def make_sparse_rows_ep(
         mi = jax.lax.axis_index(MODEL_AXIS)
         local = rows - mi * v_shard
         owned = (rows < v_total) & (local >= 0) & (local < v_shard)
-        safe = jnp.where(owned, local, v_shard)  # v_shard = drop sentinel
-        return sparse_adam_rows(
-            table, m, v, safe, grads, lr_t, beta1, beta2, epsilon
+        # gather-safe indices: clip (never jnp's negative-wrap); non-owned
+        # rows read garbage whose updates are dropped by the caller
+        safe = jnp.clip(local, 0, v_shard - 1)
+
+        g = grads.astype(table.dtype)
+        m_rows = jnp.take(m, safe, axis=0) * beta1 + g * (1 - beta1)
+        v_rows = jnp.take(v, safe, axis=0) * beta2 + jnp.square(g) * (1 - beta2)
+        p_rows = (
+            jnp.take(table, safe, axis=0)
+            - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
         )
+        rows_g = jnp.where(owned, rows, v_total)  # V = drop sentinel
+        return rows_g, p_rows, m_rows, v_rows
 
     def update(table, m, v, ids, dlooked, lr_t):
         # check_vma=False: the checker cannot infer that the all_gather over
-        # 'data' makes the (rows, grads) inputs of the update identical on
-        # every 'data' replica — it is true by construction (step 3 above)
-        # and pinned by the sharded==single-device equality tests.
-        return shard_map(
-            local_update,
+        # 'data' makes the row streams identical on every 'data' replica —
+        # true by construction (step 3 above) and pinned by the
+        # sharded==single-device equality tests.
+        rows_g, p_rows, m_rows, v_rows = shard_map(
+            local_rows,
             mesh=mesh,
             check_vma=False,
             in_specs=(
@@ -136,7 +157,19 @@ def make_sparse_rows_ep(
                 P(batch_axes, None, None),
                 P(),
             ),
-            out_specs=(P(MODEL_AXIS, None),) * 3,
+            out_specs=(
+                P(MODEL_AXIS),
+                P(MODEL_AXIS, None),
+                P(MODEL_AXIS, None),
+                P(MODEL_AXIS, None),
+            ),
         )(table, m, v, ids, dlooked, lr_t)
+        # the scatters run here — OUTSIDE the shard_map — so the outer jit's
+        # buffer donation aliases the [V, W] state in place (each global row
+        # id appears at most once across shards; sentinels drop)
+        table = table.at[rows_g].set(p_rows, mode="drop")
+        m = m.at[rows_g].set(m_rows, mode="drop")
+        v = v.at[rows_g].set(v_rows, mode="drop")
+        return table, m, v
 
     return update

@@ -5,14 +5,16 @@ table gradient materializes as a full dense [V, K] (zeros + scatter-add) and
 the optimizer sweeps every row — ~2 ms of a 7.5 ms step at the scaled config
 for a table where a batch touches <8% of rows.
 
-MEASURED VERDICT (v5e, 310k-row table, batch 8192): the dense path WINS —
-random-row scatter/gather on TPU costs ~0.1-0.5 us/row, so six sparse
-state-row round-trips on ~25k touched rows exceed the ~2 ms the dense sweep
-costs. This module is therefore NOT the default; it is the correct tool when
-the table is large enough that a dense optimizer sweep dominates the step
-(crossover roughly V*W > ~100M elements, i.e. multi-GB tables where a dense
-sweep costs tens of ms: measured 22.5 ms dense vs 1.77 ms sparse at 6M rows).
-Trainers expose it as ``--fast-step {auto,on,off}`` with auto = that
+MEASURED VERDICT (v5e, re-measured round 3 with honest fetch-synced timing):
+the dense path WINS far longer than round 2 believed — random-row
+scatter/gather on TPU costs ~0.3 us/row at big-table scale, so the ~25k
+touched rows' six state round-trips cost ~110-170 ms at a 6M-row table
+while the dense sweep costs 22 ms. (Round 2 recorded "1.77 ms sparse at 6M
+rows"; that was a block_until_ready sync lie — RESULTS.md round 3.) This
+module is therefore a CAPACITY feature: it pays only when the PER-SHARD
+dense sweep cannot be afforded, roughly V*W > ~2B elements per model shard
+(~8 GB of fp32 p/m/v per shard — the beyond-HBM regime EP sharding exists
+for). Trainers expose it as ``--fast-step {auto,on,off}`` with auto = that
 crossover. Tests pin its exact lazy-Adam semantics either way.
 
 This step restructures the computation:

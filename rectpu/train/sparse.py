@@ -65,14 +65,17 @@ def sparse_adam_rows(
     beta1: float = 0.9,
     beta2: float = 0.999,
     epsilon: float = 1e-8,
+    sorted_rows: bool = True,
 ):
     """Lazy-Adam update of ``params[rows]`` (out-of-range rows dropped).
 
-    ``rows`` must be SORTED unique ids with a trailing out-of-range sentinel
-    run — i.e. exactly ``dedupe_rows``'s output (the sorted hint lets XLA
-    skip its scatter conflict handling). ``lr_t`` is the bias-corrected rate
-    lr*sqrt(1-b2^t)/(1-b1^t) computed by the caller from the shared step
-    counter.
+    ``rows`` must be non-negative, unique apart from a shared out-of-range
+    sentinel, and — when ``sorted_rows`` (the default; ``dedupe_rows``'s
+    output satisfies it) — NONDECREASING, which lets XLA skip its scatter
+    conflict handling. Pass ``sorted_rows=False`` when a caller's id
+    remapping breaks the order (the 1d-EP shard mask). ``lr_t`` is the
+    bias-corrected rate lr*sqrt(1-b2^t)/(1-b1^t) computed by the caller from
+    the shared step counter.
     """
     grads_dtype = params.dtype
     row_grads = row_grads.astype(grads_dtype)
@@ -80,9 +83,10 @@ def sparse_adam_rows(
     v_rows = v[rows] * beta2 + jnp.square(row_grads) * (1 - beta2)
     p_rows = params[rows] - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
     # duplicate sentinel rows all carry identical content; 'drop' discards OOB
-    m = m.at[rows].set(m_rows, mode="drop", indices_are_sorted=True)
-    v = v.at[rows].set(v_rows, mode="drop", indices_are_sorted=True)
-    params = params.at[rows].set(p_rows, mode="drop", indices_are_sorted=True)
+    m = m.at[rows].set(m_rows, mode="drop", indices_are_sorted=sorted_rows)
+    v = v.at[rows].set(v_rows, mode="drop", indices_are_sorted=sorted_rows)
+    params = params.at[rows].set(p_rows, mode="drop",
+                                 indices_are_sorted=sorted_rows)
     return params, m, v
 
 

@@ -195,8 +195,11 @@ def add_deep_args(parser: ArgumentParser) -> None:
                              "(--num-model-shards >1: deduped rows + cotangents "
                              "ride an all_to_all to the owning shard, "
                              "parallel/sparse_ep). 'auto' = on when the table "
-                             "exceeds ~100M elements (the measured dense-sweep "
-                             "crossover, RESULTS.md) and the run is Adam-"
+                             "exceeds ~2B elements PER SHARD (the honest "
+                             "fetch-synced crossover: random-row state "
+                             "updates cost ~0.3us/row on v5e, so dense sweeps "
+                             "win far longer than naive timing suggested — "
+                             "RESULTS.md round 3) and the run is Adam-"
                              "compatible; 'on' forces it (errors on "
                              "incompatibility). Adam only; fp32 table/slots")
 
@@ -230,8 +233,13 @@ def apply_preset(args):
     for knob, (default, value) in _SCALED_PRESET.items():
         if hasattr(args, knob) and getattr(args, knob) == default:
             setattr(args, knob, value)
-            applied.append(f"{knob}={value}")
-    logger.info("preset scaled: %s", ", ".join(applied))
+            applied.append(knob)
+    # remembered so flag validators can tell preset-injected values from
+    # user-typed ones (e.g. the fast step ignores the preset's slot dtype
+    # instead of erroring on a flag the user never passed)
+    args._preset_applied = tuple(applied)
+    logger.info("preset scaled: %s",
+                ", ".join(f"{k}={getattr(args, k)}" for k in applied))
     return args
 
 
@@ -257,13 +265,30 @@ def _resolve_fast_step(args, model, plan, optimizer):
     if not hasattr(model, "apply_looked"):
         return fail(f"{model.name} has no apply_looked hook")
     cols = model.cfg.embedding_size + (1 if getattr(model, "use_linear", False) else 0)
-    if mode == "auto" and model.cfg.padded_buckets * cols < 100_000_000:
+    # Crossover RE-MEASURED round 3 with honest fetch-synced timing (the
+    # round-2 "sparse wins at 6M rows" was a block_until_ready artifact —
+    # RESULTS.md): random-row state gathers/scatters cost ~0.3 us/row on
+    # v5e, so at 6M rows (390M elements) the dense sweep wins 22 vs ~110 ms.
+    # Lazy-sparse pays off only when the PER-SHARD dense sweep approaches
+    # that scatter cost: ~2B elements per model shard (~8 GB of fp32
+    # p/m/v per shard — the genuine beyond-HBM capacity regime).
+    elems_per_shard = (
+        model.cfg.padded_buckets * cols
+        // max(getattr(args, "num_model_shards", 1), 1)
+    )
+    if mode == "auto" and elems_per_shard < 2_000_000_000:
         return None
     if optimizer.name != "Adam":
         return fail(f"requires Adam (got {optimizer.name}); the sparse step IS "
                     "lazy Adam (tf _apply_sparse semantics)")
     if getattr(args, "optimizer_slot_dtype", None):
-        return fail("manages its own fp32 m/v rows; drop --optimizer-slot-dtype")
+        if "optimizer_slot_dtype" in getattr(args, "_preset_applied", ()):
+            # --preset scaled injected it; the sparse step manages its own
+            # fp32 m/v rows, so the preset's slot dtype simply doesn't apply
+            logger.info("fast step: ignoring the preset's bf16-sr slot dtype "
+                        "(sparse rows keep fp32 m/v)")
+        else:
+            return fail("manages its own fp32 m/v rows; drop --optimizer-slot-dtype")
     if getattr(args, "table_dtype", "float32") != "float32" or \
             getattr(args, "table_store", "float32") != "float32":
         return fail("needs fp32 tables (no bf16 master/store)")
