@@ -20,7 +20,7 @@ from rectpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def _time(fn, x0, *rest, iters=(20, 60)):
+def _time(fn, x0, *rest, iters=(20, 60), repeats=3):
     """Dependency-chained two-point timing (rectpu.utils.timing doctrine):
     iteration i+1's input is a function of iteration i's output so work
     cannot overlap/elide; synced by real data fetches (block_until_ready
@@ -39,7 +39,17 @@ def _time(fn, x0, *rest, iters=(20, 60)):
         )
         return x + (bump * 1e-12).astype(x.dtype)
 
-    return chained_slope_s(jax.jit(step), x0, iters)
+    # MEDIAN of independent slopes: a single two-point slope under sawtooth
+    # ambient load can read arbitrarily small (observed 0.03 ms for a 54 MB
+    # fwd+bwd, 2026-08-20 — the validator's sanity floor caught it) OR
+    # arbitrarily large; min would keep the low-side garbage, so the
+    # autotuner votes with the median instead
+    import statistics
+
+    jit_step = jax.jit(step)
+    return statistics.median(
+        chained_slope_s(jit_step, x0, iters) for _ in range(max(repeats, 1))
+    )
 
 
 def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
