@@ -216,3 +216,23 @@ def test_fast_step_restore_resumes_exactly(synthetic_dir, tmp_path):
     for key in ("auc", "average_loss", "accuracy"):
         assert np.isclose(m_single[key], m_resumed[key], rtol=1e-6, atol=1e-7), (
             key, m_single, m_resumed)
+
+
+def test_fast_step_composes_with_scaled_preset(synthetic_dir, tmp_path):
+    """--preset scaled + --fast-step on: the preset's bf16-sr slot dtype is
+    preset-injected, so the fast step IGNORES it instead of erroring (the
+    sparse rows keep fp32 m/v; round-3 review fix)."""
+    import importlib
+
+    mod = importlib.import_module("rectpu.trainers.deep_fm")
+    args = mod.build_parser().parse_args([
+        "--train-csv", synthetic_dir["train"],
+        "--test-csv", synthetic_dir["test"],
+        "--job-dir", str(tmp_path / "preset_fast"),
+        "--train-steps", "100", "--batch-size", "64",
+        "--steps-per-loop", "50", "--save-checkpoints-steps", "1000000",
+        "--preset", "scaled", "--fast-step", "on",
+    ])
+    metrics = mod.train_and_evaluate(args)
+    assert metrics["count"] == 1200
+    assert 0 < metrics["average_loss"] < 2.0
