@@ -126,17 +126,17 @@ def main():
     huge = [f for f in range(fs.num_fields) if sizes[f] > cfg.mxu_dense_threshold]
     s_total = sum(sizes[f] for f in small)
 
-    rows = []  # (name, measured_s, bound_s, basis)
+    rows = []  # (name, measured_s, bound_s, basis, hbm_bytes)
 
     def add(row):
         rows.append(row)
-        name, t, b, basis = row
+        name, t, b, basis = row[:4]
         log(f"  {name}: {1e3*t:.3f} ms (bound {1e3*b:.3f} ms) [{basis}]")
 
     # 1. f32 master -> bf16 gather recast (full-table read f32 + write bf16)
     t = time_op(lambda x: x.astype(jnp.bfloat16), table_f32)
     add(("gather recast f32->bf16", t, v_rows * W * 6 / gb,
-                 f"{v_rows*W*6/1e6:.0f} MB @ stream"))
+                 f"{v_rows*W*6/1e6:.0f} MB @ stream", v_rows * W * 6))
 
     # 2. lookup_flat forward (blockdiag MXU chain + 3 big-field gathers),
     #    fed the ALREADY-bf16 table (the recast is component 1)
@@ -149,7 +149,8 @@ def main():
     fwd_bound = n_gather * row_ns * 1e-9 + fwd_bytes / gb + fwd_flops / tf
     add(("lookup_flat fwd", t, fwd_bound,
          f"{n_gather/1e3:.0f}k rows @ {row_ns:.0f} ns (latency) + "
-         f"{fwd_bytes/1e6:.0f} MB + {fwd_flops/1e9:.1f} GF"))
+         f"{fwd_bytes/1e6:.0f} MB + {fwd_flops/1e9:.1f} GF",
+         fwd_bytes + n_gather * W * 2))
 
     # 3. table-cotangent build (the mxu backward: merged sorted stream ->
     #    per-tile one-hot matmuls + medium-field one-hot rebuilds)
@@ -173,7 +174,7 @@ def main():
     add(("table-grad build (vjp)", t,
                  g_tiles * 1.3e-6 + bwd_bytes / gb + med_flops / tf,
                  f"{g_tiles} tiles @ 1.3us grid floor + {bwd_bytes/1e6:.0f} MB "
-                 f"@ stream + {med_flops/1e9:.1f} GF"))
+                 f"@ stream + {med_flops/1e9:.1f} GF", bwd_bytes))
 
     # 4. FM chain fwd+bwd on the flat activations
     v2 = jax.device_put(jnp.asarray(
@@ -184,7 +185,7 @@ def main():
     fm_bytes = 3 * B * fk * 2  # read v2 (fwd) + read v2 + write dv2 (bwd)
     fm_flops = 3 * 2 * B * fk  # stacked-identity matmuls, fwd + 2x bwd
     add(("FM fwd+bwd", t, fm_bytes / gb + fm_flops / tf,
-                 f"{fm_bytes/1e6:.0f} MB @ stream"))
+                 f"{fm_bytes/1e6:.0f} MB @ stream", fm_bytes))
 
     # 5. DNN towers fwd+bwd (3 matmul layers, x3 for fwd/dgrad/wgrad)
     mlp = params["mlp"]
@@ -206,7 +207,8 @@ def main():
     mlp_flops = 3 * sum(2 * B * dims[i] * dims[i + 1] for i in range(len(dims) - 1))
     mlp_bytes = 4 * B * fk * 2  # the wide activation dominates
     add(("DNN towers fwd+bwd", t, mlp_flops / tf + mlp_bytes / gb,
-                 f"{mlp_flops/1e9:.1f} GF @ MXU + {mlp_bytes/1e6:.0f} MB"))
+                 f"{mlp_flops/1e9:.1f} GF @ MXU + {mlp_bytes/1e6:.0f} MB",
+                 mlp_bytes))
 
     # 6. Adam table sweep (bf16 m + bf16-sr v slots) incl. write-back
     opt = adam(learning_rate=0.001,
@@ -224,7 +226,7 @@ def main():
     t = time_op(sweep, {"g": g_tbl, "s": state0, "p": tbl})
     sweep_bytes = v_rows * W * (4 + 2 + 2 + 2 + 4 + 2 + 2)
     add(("Adam sweep + write-back", t, sweep_bytes / gb,
-                 f"{sweep_bytes/1e6:.0f} MB @ stream"))
+                 f"{sweep_bytes/1e6:.0f} MB @ stream", sweep_bytes))
 
     # 7. hash dropout masks (two hidden activations)
     from rectpu.models.base import hash_dropout_mask
@@ -239,7 +241,7 @@ def main():
     t = time_op(masks, jnp.ones((1,), jnp.float32))
     mask_bytes = B * sum(HIDDEN)
     add(("hash dropout masks", t, mask_bytes / gb,
-                 f"{B*sum(HIDDEN)/1e6:.1f}M elems @ ~8 VPU ops"))
+                 f"{B*sum(HIDDEN)/1e6:.1f}M elems @ ~8 VPU ops", mask_bytes))
 
     # --- the full step: the bench.py harness itself (donated buffers +
     # two-point slope + real loss fetch — the number of record's method)
@@ -250,10 +252,12 @@ def main():
     # --- report -----------------------------------------------------------
     comp_sum = sum(r[1] for r in rows)
     bound_sum = sum(r[2] for r in rows)
+    total_bytes = sum(r[4] for r in rows)
+    hbm_bound = total_bytes / gb
     log("")
     log("| component | measured ms | bound ms | x bound | bound basis |")
     log("|---|---|---|---|---|")
-    for name, t, b, basis in rows:
+    for name, t, b, basis, _ in rows:
         log(f"| {name} | {1e3*t:.3f} | {1e3*b:.3f} | "
             f"{t/b if b else float('inf'):.1f}x | {basis} |")
     log(f"| **component sum** | {1e3*comp_sum:.3f} | {1e3*bound_sum:.3f} | "
@@ -266,8 +270,15 @@ def main():
         f"overlapping components the isolated timings serialize)")
     log(f"step = {100*step_s/bound_sum:.0f}% of the summed achievable bound "
         f"({1e3*bound_sum:.2f} ms)")
+    # the serialized bound-sum overstates the floor when XLA overlaps
+    # components; the binding shared resource is HBM traffic — the
+    # overlap-aware roofline is total bytes at the measured stream rate
+    log(f"overlap-aware HBM roofline: {total_bytes/1e6:.0f} MB @ "
+        f"{bw:.0f} GB/s = {1e3*hbm_bound:.3f} ms -> step = "
+        f"{step_s/hbm_bound:.2f}x the HBM floor")
     print(f'{{"step_ms": {1e3*step_s:.3f}, "component_sum_ms": '
-          f'{1e3*comp_sum:.3f}, "bound_sum_ms": {1e3*bound_sum:.3f}}}')
+          f'{1e3*comp_sum:.3f}, "bound_sum_ms": {1e3*bound_sum:.3f}, '
+          f'"hbm_floor_ms": {1e3*hbm_bound:.3f}}}')
 
 
 if __name__ == "__main__":
