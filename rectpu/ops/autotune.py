@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import statistics
+
 from rectpu.ops import embedding as emb_ops
 from rectpu.ops import fm as fm_ops
 from rectpu.utils.logging import get_logger
@@ -44,8 +46,6 @@ def _time(fn, x0, *rest, iters=(20, 60), repeats=3):
     # fwd+bwd, 2026-08-20 — the validator's sanity floor caught it) OR
     # arbitrarily large; min would keep the low-side garbage, so the
     # autotuner votes with the median instead
-    import statistics
-
     jit_step = jax.jit(step)
     return statistics.median(
         chained_slope_s(jit_step, x0, iters) for _ in range(max(repeats, 1))
@@ -71,7 +71,10 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
         [offsets[f] + rng.integers(0, sizes[f], size=batch)
          for f in range(num_fields)], axis=1).astype(np.int32))
 
-    # 1. lookup_flat fwd+bwd, xla serial scatter vs mxu one-hot rebuild
+    # 1. lookup_flat table-grad path, xla serial scatter vs mxu one-hot
+    #    rebuild. Plain jax.grad DCEs the custom-VJP forward's unused gather
+    #    outputs — deliberately kept here: both impls share the identical
+    #    forward, so the A/B isolates exactly the backward being chosen.
     def flat_grad(impl):
         def obj(t):
             emb, lin = emb_ops.lookup_flat(
@@ -88,7 +91,7 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
     # 2. scatter_rows tile geometry sweep at the flat backward's actual
     #    update-stream shape (huge-field rows + the small-field block rows)
     if best_scatter == "mxu":
-        dense_threshold = 16384
+        dense_threshold = 16384  # TowerConfig.mxu_dense_threshold default
         huge = [f for f in range(num_fields) if sizes[f] > dense_threshold]
         small_ids = [np.arange(offsets[f], offsets[f] + sizes[f], dtype=np.int32)
                      for f in range(num_fields) if sizes[f] <= 4096]

@@ -47,6 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Out-of-range id that matches no scatter tile (callers mask dropped rows to
+# this; int32max//2 stays far above any padded table while `id // tile_rows`
+# cannot overflow). Shared with the EP backward helpers in
+# parallel/embedding_ep.py.
+DROP_SENTINEL = 2**31 // 2 - 1
+
+
 # Autotuned tile geometry: the hand-measured production pins (tr=2048,
 # cap=512 — RESULTS.md: smaller AND larger tiles measured worse) are the
 # defaults; ops/autotune sweeps the grid at the working shapes and re-pins.
@@ -202,7 +209,7 @@ def _scatter_rows_dense(
     # super-segment [start, start + 8C + 8) (repack): pad so any start <= R
     # is safe for whichever path compiles
     pad_rows = (c + 8) if use_resident else (8 * c + 8)
-    sentinel = jnp.iinfo(jnp.int32).max // 2  # matches no tile
+    sentinel = DROP_SENTINEL  # matches no tile
     ids_p = jnp.pad(ids_s, (0, pad_rows), constant_values=sentinel)
     upd_p = jnp.pad(upd_s, ((0, pad_rows), (0, 0)))
 

@@ -240,7 +240,7 @@ def _owner_gather_mxu(table_shard):
     stream across senders and rebuilds the shard gradient with
     ops/scatter_rows. The rest of the dedup pipeline's autodiff (expansion-
     gather transpose, all_to_all transpose) is untouched."""
-    from rectpu.ops.scatter_rows import scatter_rows_dense
+    from rectpu.ops.scatter_rows import DROP_SENTINEL, scatter_rows_dense
     from rectpu.train.sparse import dedupe_rows
 
     v_shard, width = table_shard.shape
@@ -256,11 +256,10 @@ def _owner_gather_mxu(table_shard):
 
     def bwd2(res, g):
         local, ok = res
-        sent = jnp.iinfo(jnp.int32).max // 2
-        ids = jnp.where(ok, local, sent).reshape(-1)
+        ids = jnp.where(ok, local, DROP_SENTINEL).reshape(-1)
         gm = (jnp.where(ok[..., None], g, 0)
               .reshape(-1, width).astype(jnp.float32))
-        rows, rg = dedupe_rows(ids, gm, sent)
+        rows, rg = dedupe_rows(ids, gm, DROP_SENTINEL)
         dtable = scatter_rows_dense(
             rows, rg, v_shard, out_dtype=jnp.float32,
             interpret=not _on_tpu(),
@@ -388,13 +387,13 @@ def _mxu_shard_cotangent(ids_full, d_emb_full, d_lin_full, mi, v_shard, k,
     ``d_lin_full``: [B_loc] or None (the packed linear column's cotangent);
     ``mi``: this shard's 'model' index (traced).
     """
-    from rectpu.ops.scatter_rows import scatter_rows_dense
+    from rectpu.ops.scatter_rows import DROP_SENTINEL, scatter_rows_dense
     from rectpu.train.sparse import dedupe_rows
 
     b_loc, f_total = ids_full.shape
     has_lin = d_lin_full is not None
     w = k + (1 if has_lin else 0)
-    sent = jnp.iinfo(jnp.int32).max // 2  # matches no scatter tile
+    sent = DROP_SENTINEL  # matches no scatter tile
     id_parts, g_parts = [], []
     for f in range(f_total):
         local = ids_full[:, f].astype(jnp.int32) - mi * v_shard
@@ -523,7 +522,7 @@ def make_ep_lookup_flat(mesh: Mesh, scatter_impl: str = "xla",
     over 'model' — psum's reverse).
     """
 
-    def make_local(has_lin, shard_shape=None):
+    def make_local(has_lin, shard_shape):
         def local_lookup(table_shard, ids_local):
             # table_shard: [V/m, K(+1)]; ids_local: [B/d, F] of GLOBAL ids
             m = jax.lax.axis_index(MODEL_AXIS)
@@ -635,7 +634,7 @@ def make_ep_lookup_2d_flat(mesh: Mesh, comm_compress: str | None = None,
     _check_rs_compress(comm_compress)
     n_model = mesh.shape[MODEL_AXIS]
 
-    def make_local(has_lin, shard_shape=None):
+    def make_local(has_lin, shard_shape):
         def local_lookup(table_shard, ids_local):
             # table_shard: [V/m, K(+1)]; ids_local: [B/(d*m), F] of GLOBAL ids
             ids_full = jax.lax.all_gather(
