@@ -10,7 +10,8 @@ POST /predict with the ML-Engine request shape:
                     "occupation": "student", "zipcode": "85711",
                     "release_year": 1994, "action": 1}, ...]}
 
-Response: {"predictions": [{"probabilities": p, "logits": l, "class_id": c}]}.
+Response: {"predictions": [{"probabilities": p, "logistic": p, "logits": l,
+"class_id": c}]} — the reference binary head's full output set.
 Stdlib http.server only — no framework dependencies.
 """
 
@@ -233,6 +234,10 @@ def make_handler(served, versions: "ModelVersions | None" = None):
                 predictions = [
                     {
                         "probabilities": float(out["probabilities"][i]),
+                        # full binary-head output set (ref model_utils.py:9-20;
+                        # logistic == probabilities for this head, emitted for
+                        # response-schema parity with TF serving)
+                        "logistic": float(out["logistic"][i]),
                         "logits": float(out["logits"][i]),
                         "class_id": int(out["class_id"][i]),
                     }

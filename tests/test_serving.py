@@ -57,6 +57,10 @@ def test_http_predict_server(export_dir):
         p = out["predictions"][0]
         assert 0.0 <= p["probabilities"] <= 1.0
         assert p["class_id"] in (0, 1)
+        # the reference binary head's full output set rides the response
+        # (ref model_utils.py:9-20): logistic == probabilities for this head
+        assert p["logistic"] == p["probabilities"]
+        assert "logits" in p
 
         # health check
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=10) as resp:
