@@ -152,25 +152,38 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
     # two-point slope timing: run n1 then n2 steps (params/opt_state chain
     # through every step), each synced by fetching the loss; the per-step
     # time is the slope, which cancels the fetch/dispatch fixed cost.
-    n1 = max(steps // 4, 10)
-    n2 = max(steps, 40)
-    times = []
+    # MIN over three short window-pairs instead of one long pair: the shared
+    # chip's load arrives in multi-second bursts, and a single multi-minute
+    # window almost always catches one (observed 2026-08-20: 1.54 ms on a
+    # 15/60 pair, 3.63 ms on a 75/300 pair minutes apart) — ambient load
+    # only ever ADDS time, so the min pair is the least-contaminated sample.
+    n1 = max(steps // 8, 10)
+    n2 = max(steps // 2, 40)
     step_no = 1
-    for n in (n1, n2):
-        t0 = time.time()
-        for _ in range(n):
-            params, opt_state, loss = fj(
-                params, opt_state, jnp.asarray(step_no, jnp.int32),
-                staged[step_no % n_stage],
-            )
-            step_no += 1
-        _ = float(loss)
-        times.append(time.time() - t0)
-    dt = (times[1] - times[0]) / (n2 - n1)
+    best_dt = float("inf")
+    for _rep in range(3):
+        times = []
+        for n in (n1, n2):
+            t0 = time.time()
+            for _ in range(n):
+                params, opt_state, loss = fj(
+                    params, opt_state, jnp.asarray(step_no, jnp.int32),
+                    staged[step_no % n_stage],
+                )
+                step_no += 1
+            _ = float(loss)
+            times.append(time.time() - t0)
+        slope = (times[1] - times[0]) / (n2 - n1)
+        if slope > 0:
+            best_dt = min(best_dt, slope)
+        log(f"tpu: slope of {n1}/{n2} steps x batch {batch} (rep {_rep}): "
+            f"{1e3*slope:.3f} ms/step")
+    dt = best_dt if best_dt != float("inf") else times[1] / n2
     eps = batch / dt
-    log(f"tpu: slope of {n1}/{n2} steps x batch {batch}: {1e3*dt:.3f} ms/step "
+    log(f"tpu: best of 3 window-pairs: {1e3*dt:.3f} ms/step "
         f"-> {eps:,.0f} examples/s")
-    return {"examples_per_sec": eps, "steps": n1 + n2, "batch": batch, "seconds": dt * n2}
+    return {"examples_per_sec": eps, "steps": step_no - 1, "batch": batch,
+            "seconds": dt * n2}
 
 
 def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:
