@@ -236,3 +236,31 @@ def test_fast_step_composes_with_scaled_preset(synthetic_dir, tmp_path):
     metrics = mod.train_and_evaluate(args)
     assert metrics["count"] == 1200
     assert 0 < metrics["average_loss"] < 2.0
+
+
+def test_fast_step_composes_with_row_placement(synthetic_dir, tmp_path):
+    """--ep-row-placement freq + --fast-step on + EP sharding compose: the
+    relabeled ids flow through the sparse exchange and updates land on the
+    permuted rows (NOTE: CLI metrics are not bitwise-equal to an unpermuted
+    run because the trainer does not relabel the random table INIT — the
+    bitwise contract with a relabeled init is pinned in test_placement.py;
+    here we pin that the composed pipeline trains and persists the map)."""
+    import importlib
+    from pathlib import Path
+
+    mod = importlib.import_module("rectpu.trainers.deep_fm")
+    job = tmp_path / "perm_fast"
+    argv = [
+        "--train-csv", synthetic_dir["train"],
+        "--test-csv", synthetic_dir["test"],
+        "--job-dir", str(job),
+        "--train-steps", "300", "--batch-size", "64",
+        "--steps-per-loop", "50", "--save-checkpoints-steps", "1000000",
+        "--fast-step", "on", "--packed-linear",
+        "--num-data-shards", "4", "--num-model-shards", "2",
+        "--ep-mode", "dedup", "--ep-row-placement", "freq",
+    ]
+    metrics = mod.train_and_evaluate(mod.build_parser().parse_args(argv))
+    assert metrics["count"] == 1200
+    assert 0 < metrics["average_loss"] < 2.0
+    assert (Path(job) / "row_perm.npy").exists()  # map persisted for serving
