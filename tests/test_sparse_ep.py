@@ -264,3 +264,25 @@ def test_fast_step_composes_with_row_placement(synthetic_dir, tmp_path):
     assert metrics["count"] == 1200
     assert 0 < metrics["average_loss"] < 2.0
     assert (Path(job) / "row_perm.npy").exists()  # map persisted for serving
+
+
+def test_fast_step_cli_dlrm(synthetic_dir, tmp_path):
+    """--fast-step on through the DLRM trainer (emb-only table, Adam via
+    --optimizer): the zoo-wide apply_looked seam is CLI-reachable beyond
+    DeepFM."""
+    import importlib
+
+    mod = importlib.import_module("rectpu.trainers.dlrm")
+    args = mod.build_parser().parse_args([
+        "--train-csv", synthetic_dir["train"],
+        "--test-csv", synthetic_dir["test"],
+        "--job-dir", str(tmp_path / "dlrm_fast"),
+        "--train-steps", "200", "--batch-size", "64",
+        "--steps-per-loop", "50", "--save-checkpoints-steps", "1000000",
+        "--fast-step", "on", "--optimizer", "Adam",
+        "--num-data-shards", "4", "--num-model-shards", "2",
+        "--ep-mode", "dedup",
+    ])
+    metrics = mod.train_and_evaluate(args)
+    assert metrics["count"] == 1200
+    assert 0 < metrics["average_loss"] < 2.0
