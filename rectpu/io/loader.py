@@ -158,6 +158,42 @@ class CsvDataset:
 
     # -- batching ------------------------------------------------------------
 
+    def train_index_batches(
+        self,
+        batch_size: int,
+        state: DataState | None = None,
+        seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
+    ):
+        """Infinite shuffled ROW-INDEX batches of static shape [batch_size].
+
+        Yields (row_indices int64, DataState) — the same batches
+        ``train_batches`` materializes, as dataset row numbers. The
+        device-resident training path (train/loop.py data_placement) ships
+        ONLY these ~32 KB index vectors to the device and gathers the batch
+        there; ``train_batches`` gathers on the host. The state machinery is
+        shared, so switching placement mid-run (or on restore) reproduces
+        the identical batch stream.
+        """
+        state = state or DataState(seed=seed)
+        epoch, index = state.epoch, state.index
+        perm = self._perm(epoch, state.seed)[shard_id::num_shards]
+        carry = np.empty((0,), dtype=perm.dtype)
+        while True:
+            take = batch_size - carry.shape[0]
+            if index + take <= perm.shape[0]:
+                sel = perm[index : index + take]
+                index += take
+                rows = np.concatenate([carry, sel]) if carry.size else sel
+                carry = np.empty((0,), dtype=perm.dtype)
+                yield rows, DataState(epoch=epoch, index=index, seed=state.seed)
+            else:
+                carry = np.concatenate([carry, perm[index:]])
+                epoch += 1
+                index = 0
+                perm = self._perm(epoch, state.seed)[shard_id::num_shards]
+
     def train_batches(
         self,
         batch_size: int,
@@ -178,33 +214,16 @@ class CsvDataset:
         shards cover each epoch exactly once (replaces the reference's
         per-worker tf.data sharding).
         """
-        state = state or DataState(seed=seed)
-        epoch, index = state.epoch, state.index
-        perm = self._perm(epoch, state.seed)[shard_id::num_shards]
-        carry_ids = np.empty((0, self.cat_ids.shape[1]), dtype=np.int32)
-        carry_num = np.empty((0, self.num_vals.shape[1]), dtype=np.float32)
-        carry_lab = np.empty((0,), dtype=np.float32)
-        while True:
-            take = batch_size - carry_lab.shape[0]
-            if index + take <= perm.shape[0]:
-                sel = perm[index : index + take]
-                index += take
-                ids = np.concatenate([carry_ids, self.cat_ids[sel]]) if carry_lab.size else self.cat_ids[sel]
-                num = np.concatenate([carry_num, self.num_vals[sel]]) if carry_lab.size else self.num_vals[sel]
-                lab = np.concatenate([carry_lab, self.labels[sel]]) if carry_lab.size else self.labels[sel]
-                carry_ids = np.empty((0, self.cat_ids.shape[1]), dtype=np.int32)
-                carry_num = np.empty((0, self.num_vals.shape[1]), dtype=np.float32)
-                carry_lab = np.empty((0,), dtype=np.float32)
-                batch = {"cat_ids": ids, "num_vals": num, "labels": lab}
-                yield batch, DataState(epoch=epoch, index=index, seed=state.seed)
-            else:
-                sel = perm[index:]
-                carry_ids = np.concatenate([carry_ids, self.cat_ids[sel]])
-                carry_num = np.concatenate([carry_num, self.num_vals[sel]])
-                carry_lab = np.concatenate([carry_lab, self.labels[sel]])
-                epoch += 1
-                index = 0
-                perm = self._perm(epoch, state.seed)[shard_id::num_shards]
+        for rows, st in self.train_index_batches(
+            batch_size, state=state, seed=seed, shard_id=shard_id,
+            num_shards=num_shards,
+        ):
+            batch = {
+                "cat_ids": self.cat_ids[rows],
+                "num_vals": self.num_vals[rows],
+                "labels": self.labels[rows],
+            }
+            yield batch, st
 
     def eval_batches(self, batch_size: int, shard_id: int = 0, num_shards: int = 1):
         """One ordered pass; the last batch is zero-padded with weight=0.

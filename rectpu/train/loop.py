@@ -70,6 +70,21 @@ class TrainConfig:
     # value is still reported as auc_streaming). Single-process only; a
     # multi-host plan keeps streaming and logs a warning.
     eval_auc: str = "streaming"
+    # Where each train batch is assembled:
+    #   "host":   select rows on the host, ship [B, ...] arrays per step;
+    #   "device": upload the WHOLE encoded dataset once and ship only the
+    #             [B] row indices per step — the batch is gathered on device,
+    #             removing the per-step host->device transfer (measured CLI
+    #             bottleneck through the TPU tunnel: ~1 MB + ~30 ms RTT per
+    #             step caps throughput at ~0.7M ex/s regardless of model);
+    #   "auto":   device when single-process, unsharded, resident dataset
+    #             <= data_placement_max_bytes (a ParallelPlan or streaming
+    #             dataset keeps the host path).
+    # Identical training either way: both paths consume the same
+    # train_index_batches stream (io/loader.py), so placement — like a
+    # restore — never changes which rows form a batch.
+    data_placement: str = "auto"
+    data_placement_max_bytes: int = 1 << 30
 
 
 class Trainer:
@@ -184,6 +199,23 @@ class Trainer:
             (params, opt_state, _, step), loss = one_step((params, opt_state, rng, step), batch)
             return params, opt_state, loss
 
+        # device-resident data variants: the batch is a [B]-index gather from
+        # the resident dataset (a jit argument, NOT a baked-in constant)
+        def gather_batch(data, idx):
+            return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+
+        def train_one_idx(params, opt_state, rng, step, idx, data):
+            return train_one(params, opt_state, rng, step, gather_batch(data, idx))
+
+        def train_chunk_idx(params, opt_state, rng, step, idxs, data):
+            def body(carry, idx):
+                return one_step(carry, gather_batch(data, idx))
+
+            (params, opt_state, _, step), losses = jax.lax.scan(
+                body, (params, opt_state, rng, step), idxs
+            )
+            return params, opt_state, step, losses
+
         if self.plan is not None:
             self._train_chunk = self.plan.jit_train_chunk(train_chunk)
             self._eval_step = self.plan.jit_eval_step(eval_step)
@@ -194,6 +226,8 @@ class Trainer:
             self._eval_scan = jax.jit(eval_scan, donate_argnums=(1,))
         self._eval_probs_scan = jax.jit(eval_probs_scan)
         self._train_one = jax.jit(train_one, donate_argnums=(0, 1))
+        self._train_one_idx = jax.jit(train_one_idx, donate_argnums=(0, 1))
+        self._train_chunk_idx = jax.jit(train_chunk_idx, donate_argnums=(0, 1))
         self._eval_cache = None  # device-resident stacked eval set
 
     def _proc_info(self):
@@ -207,6 +241,44 @@ class Trainer:
         if mode == "auto":
             return "pipelined" if self.config.batch_size >= 2048 else "scan"
         return mode
+
+    def _resolve_data_placement(self, cfg, nproc: int):
+        """Device-resident training data (see TrainConfig.data_placement):
+        returns the dataset as device arrays, or None for the host path."""
+        mode = cfg.data_placement
+        if mode == "host":
+            return None
+        ok = (
+            self.plan is None
+            and nproc == 1
+            and hasattr(self.train_ds, "cat_ids")  # resident, not streaming
+        )
+        nbytes = 0
+        if ok:
+            nbytes = (
+                self.train_ds.cat_ids.nbytes
+                + self.train_ds.num_vals.nbytes
+                + self.train_ds.labels.nbytes
+            )
+            ok = nbytes <= cfg.data_placement_max_bytes
+        if not ok:
+            if mode == "device":
+                raise ValueError(
+                    "data_placement='device' needs a single-process unsharded "
+                    "run with a resident (non-streaming) dataset no larger "
+                    f"than data_placement_max_bytes "
+                    f"({cfg.data_placement_max_bytes} B)"
+                )
+            return None
+        logger.info(
+            "train data device-resident (%.1f MB): shipping only row indices "
+            "per step", nbytes / 1e6,
+        )
+        return {
+            "cat_ids": jax.device_put(jnp.asarray(self.train_ds.cat_ids)),
+            "num_vals": jax.device_put(jnp.asarray(self.train_ds.num_vals)),
+            "labels": jax.device_put(jnp.asarray(self.train_ds.labels)),
+        }
 
     # -- data staging ------------------------------------------------------------
 
@@ -432,10 +504,16 @@ class Trainer:
         nproc, pidx = self._proc_info()
         if cfg.batch_size % nproc:
             raise ValueError(f"batch_size {cfg.batch_size} not divisible by {nproc} processes")
-        batch_iter = self.train_ds.train_batches(
-            cfg.batch_size // nproc, state=data_state, seed=cfg.seed,
-            shard_id=pidx, num_shards=nproc,
-        )
+        resident = self._resolve_data_placement(cfg, nproc)
+        if resident is not None:
+            batch_iter = self.train_ds.train_index_batches(
+                cfg.batch_size, state=data_state, seed=cfg.seed,
+            )
+        else:
+            batch_iter = self.train_ds.train_batches(
+                cfg.batch_size // nproc, state=data_state, seed=cfg.seed,
+                shard_id=pidx, num_shards=nproc,
+            )
         last_save = time.time()
         t_loop = time.time()
         examples_acc = 0
@@ -470,6 +548,9 @@ class Trainer:
                 def stage():
                     nonlocal data_state
                     b, data_state = next(batch_iter)
+                    if resident is not None:
+                        # only the [B] row indices cross to the device
+                        return jax.device_put(np.asarray(b, np.int32))
                     if self.plan is not None:
                         return self.plan.shard_batch(b)
                     return {kk: jax.device_put(v) for kk, v in b.items()}
@@ -479,11 +560,28 @@ class Trainer:
                     prefetch.append(stage())
                 for i in range(k):
                     batch = prefetch.pop(0)
-                    params, opt_state, losses = self._train_one(
-                        params, opt_state, rng, jnp.asarray(step + i, jnp.int32), batch
-                    )
+                    if resident is not None:
+                        params, opt_state, losses = self._train_one_idx(
+                            params, opt_state, rng,
+                            jnp.asarray(step + i, jnp.int32), batch, resident,
+                        )
+                    else:
+                        params, opt_state, losses = self._train_one(
+                            params, opt_state, rng,
+                            jnp.asarray(step + i, jnp.int32), batch,
+                        )
                     if i + depth < k:
                         prefetch.append(stage())
+            elif resident is not None:
+                idxs = []
+                for _ in range(k):
+                    b, data_state = next(batch_iter)
+                    idxs.append(np.asarray(b, np.int32))
+                idxs = jax.device_put(np.stack(idxs))
+                params, opt_state, step_dev, losses = self._train_chunk_idx(
+                    params, opt_state, rng, jnp.asarray(step, jnp.int32),
+                    idxs, resident,
+                )
             else:
                 stacked, data_state = self._stack_batches(batch_iter, k)
                 params, opt_state, step_dev, losses = self._train_chunk(

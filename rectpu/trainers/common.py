@@ -72,6 +72,16 @@ def add_common_args(parser: ArgumentParser, job_dir_default: str) -> None:
                              "gather recast — the bf16 copy is emitted fused "
                              "with the optimizer write-back. Requires "
                              "--compute-dtype bfloat16. default: %(default)s")
+    parser.add_argument("--data-placement", choices=["auto", "host", "device"],
+                        default="auto",
+                        help="'device' keeps the encoded train set device-"
+                             "resident and ships only [B] row indices per "
+                             "step (batch gathered on device — removes the "
+                             "per-step host->device transfer); 'host' ships "
+                             "materialized batches; 'auto' = device when "
+                             "single-process, unsharded and the dataset fits "
+                             "(1 GB cap). Training is IDENTICAL either way "
+                             "(both consume the same index stream)")
     parser.add_argument("--streaming-io", action="store_true",
                         help="out-of-core input pipeline: parse+encode CSV in "
                              "windowed chunks with background prefetch instead "
@@ -471,6 +481,7 @@ def build_trainer(args, model, optimizer=None):
         seed=args.seed,
         loss_reduction=args.loss_reduction,
         eval_auc=getattr(args, "eval_auc", "streaming"),
+        data_placement=getattr(args, "data_placement", "auto"),
     )
     optimizer = optimizer or model.default_optimizer()
     if getattr(args, "table_store", "float32") == "bfloat16":

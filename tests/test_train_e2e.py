@@ -321,3 +321,31 @@ def test_scaled_preset_respects_explicit_flags(synthetic_dir, tmp_path):
     args = apply_preset(args)
     assert args.scatter_impl == "auto"  # explicit non-default flag preserved
     assert args.flat_layout is True  # defaulted knob overridden
+
+
+def test_data_placement_device_matches_host(synthetic_dir, tmp_path):
+    """Device-resident training data (ship [B] indices, gather on device)
+    trains IDENTICALLY to host-staged batches: both consume the same
+    train_index_batches stream, so metrics match exactly."""
+    m_host = _args("deep_fm", synthetic_dir, tmp_path / "host", train_steps=400,
+                   save_steps=10**6, data_placement="host")
+    m_dev = _args("deep_fm", synthetic_dir, tmp_path / "dev", train_steps=400,
+                  save_steps=10**6, data_placement="device")
+    r_host = m_host[0].train_and_evaluate(m_host[1])
+    r_dev = m_dev[0].train_and_evaluate(m_dev[1])
+    for key in ("auc", "average_loss", "accuracy"):
+        assert np.isclose(r_host[key], r_dev[key], rtol=1e-6, atol=1e-7), (
+            key, r_host, r_dev)
+
+
+def test_data_placement_device_rejects_sharded(synthetic_dir, tmp_path):
+    """Explicit 'device' placement on a sharded run fails with an
+    explanation (the resident-gather path is single-device by design)."""
+    import pytest as _pytest
+
+    mod, args = _args("deep_fm", synthetic_dir, tmp_path / "reject",
+                      train_steps=100, save_steps=10**6,
+                      data_placement="device", num_data_shards=4,
+                      num_model_shards=2)
+    with _pytest.raises(ValueError, match="data_placement='device'"):
+        mod.train_and_evaluate(args)
