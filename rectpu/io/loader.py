@@ -175,24 +175,36 @@ class CsvDataset:
         there; ``train_batches`` gathers on the host. The state machinery is
         shared, so switching placement mid-run (or on restore) reproduces
         the identical batch stream.
+
+        Multi-host: every host walks the SAME epoch-concatenated global
+        stream chunked into GLOBAL batches of ``batch_size * num_shards``
+        and takes the contiguous block ``[shard_id*batch_size :
+        (shard_id+1)*batch_size]`` of each — so the assembled global batch
+        matches a single-process run's batch in content AND row order. That
+        makes an n-process run compute the same mathematical function as the
+        1-process run even for order-sensitive math (dropout masks key on
+        the position within the batch). ``DataState.index`` is the global
+        row offset within the epoch, identical on every host.
         """
         state = state or DataState(seed=seed)
         epoch, index = state.epoch, state.index
-        perm = self._perm(epoch, state.seed)[shard_id::num_shards]
+        gbs = batch_size * num_shards
+        lo, hi = shard_id * batch_size, (shard_id + 1) * batch_size
+        perm = self._perm(epoch, state.seed)
         carry = np.empty((0,), dtype=perm.dtype)
         while True:
-            take = batch_size - carry.shape[0]
+            take = gbs - carry.shape[0]
             if index + take <= perm.shape[0]:
                 sel = perm[index : index + take]
                 index += take
                 rows = np.concatenate([carry, sel]) if carry.size else sel
                 carry = np.empty((0,), dtype=perm.dtype)
-                yield rows, DataState(epoch=epoch, index=index, seed=state.seed)
+                yield rows[lo:hi], DataState(epoch=epoch, index=index, seed=state.seed)
             else:
                 carry = np.concatenate([carry, perm[index:]])
                 epoch += 1
                 index = 0
-                perm = self._perm(epoch, state.seed)[shard_id::num_shards]
+                perm = self._perm(epoch, state.seed)
 
     def train_batches(
         self,
@@ -209,9 +221,10 @@ class CsvDataset:
         exactly. Remainder rows of an epoch fold into the next epoch's head so
         no example is dropped over time.
 
-        Multi-host: every host computes the SAME seeded permutation and takes
-        the disjoint slice ``perm[shard_id::num_shards]`` — together the
-        shards cover each epoch exactly once (replaces the reference's
+        Multi-host: every host takes its contiguous block of each GLOBAL
+        batch (see train_index_batches) — together the shards cover each
+        epoch exactly once AND the assembled global batch equals the
+        single-process batch row-for-row (replaces the reference's
         per-worker tf.data sharding).
         """
         for rows, st in self.train_index_batches(

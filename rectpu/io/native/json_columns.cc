@@ -10,11 +10,21 @@
 // int64 / float64 vectors and fixed-stride NUL-padded byte columns (the
 // exact S-dtype layout rectpu_hash_strings_fixed consumes).
 //
-// DELIBERATELY RESTRICTIVE: anything outside the flat scalar-valued,
-// uniform-keyed shape (escapes, non-ASCII, nested values, mixed
-// string/number columns, extra top-level keys) returns an error and the
-// Python json.loads path handles the request instead — behavior parity is
-// guaranteed by fallback, speed by the common case.
+// Round-4 widening (VERDICT item 8 — json.loads should be the MALFORMED
+// path, not the common path): the native parser now also covers
+//   - any batch size (it always did — rows are dynamic),
+//   - backslash escapes incl. \uXXXX with surrogate pairs (decoded to
+//     UTF-8, byte-identical to Python's str handling downstream),
+//   - non-ASCII UTF-8 strings (passed through raw — the hash consumes
+//     exactly the bytes Python's str.encode('utf-8') would produce),
+//   - true/false values (int64 1/0 — numpy bool arrays encode identically),
+//   - extra scalar-valued top-level keys in any order (TF-serving's
+//     "signature_name" rides along), with "instances" anywhere.
+// Still DELIBERATELY bailing to the json.loads path (which defines
+// behavior, including error semantics): nested values, mixed
+// string/number columns, ragged/inconsistent instance keys, null, lone
+// surrogates / \u0000 / trailing NUL (S-dtype cannot carry them), malformed
+// bodies.
 
 #include <charconv>
 #include <cstdint>
@@ -30,14 +40,16 @@ struct Column {
   int kind = 0;
   std::vector<int64_t> ints;
   std::vector<double> floats;
-  // byte columns: (offset, len) into the copied body buffer
+  // byte columns: (offset, len); offset >= 0 indexes the copied body
+  // buffer, offset < 0 encodes -(extra_offset+1) into the escape arena
   std::vector<std::pair<int64_t, int32_t>> spans;
   int64_t max_len = 1;  // S-dtype itemsize is at least 1
   int64_t last_row = -1;
 };
 
 struct JsonColumns {
-  std::string buf;  // owned copy of the request body
+  std::string buf;    // owned copy of the request body
+  std::string extra;  // decoded escaped strings (offset-stable arena)
   std::string error;
   std::vector<Column> cols;
   int64_t rows = 0;
@@ -64,27 +76,133 @@ struct Parser {
     return true;
   }
 
-  // Parse a JSON string; returns the span of its raw bytes. Escapes and
-  // non-ASCII bytes bail (Python fallback handles them).
+  const char* span_ptr(int64_t off) const {
+    return off >= 0 ? out->buf.data() + off : out->extra.data() + (-off - 1);
+  }
+
+  static void push_utf8(std::string* s, uint32_t cp) {
+    if (cp < 0x80) {
+      s->push_back(static_cast<char>(cp));
+    } else if (cp < 0x800) {
+      s->push_back(static_cast<char>(0xC0 | (cp >> 6)));
+      s->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+      s->push_back(static_cast<char>(0xE0 | (cp >> 12)));
+      s->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+      s->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+    } else {
+      s->push_back(static_cast<char>(0xF0 | (cp >> 18)));
+      s->push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+      s->push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+      s->push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+    }
+  }
+
+  bool parse_hex4(uint32_t* v) {
+    if (end - p < 4) return fail("truncated \\u escape");
+    uint32_t r = 0;
+    for (int i = 0; i < 4; i++) {
+      char c = p[i];
+      uint32_t d;
+      if (c >= '0' && c <= '9') d = c - '0';
+      else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+      else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+      else return fail("bad \\u escape");
+      r = (r << 4) | d;
+    }
+    p += 4;
+    *v = r;
+    return true;
+  }
+
+  // Parse a JSON string. Unescaped strings return a span into `buf`;
+  // strings with escapes are decoded (UTF-8) into the `extra` arena and
+  // return a negative-offset span. Non-ASCII bytes pass through raw.
   bool parse_string(int64_t* off, int32_t* len) {
     skip_ws();
     if (p >= end || *p != '"') return fail("expected string");
     p++;
     const char* start = p;
+    // fast scan: no escape, no control char
+    while (p < end && *p != '"' && *p != '\\'
+           && static_cast<unsigned char>(*p) >= 0x20)
+      p++;
+    if (p < end && *p == '"') {
+      *off = start - out->buf.data();
+      *len = static_cast<int32_t>(p - start);
+      p++;
+      return true;
+    }
+    if (p >= end) return fail("unterminated string");
+    if (static_cast<unsigned char>(*p) < 0x20) return fail("control char in string");
+    // slow path: decode into the arena
+    std::string dec(start, static_cast<size_t>(p - start));
     while (p < end) {
       unsigned char c = static_cast<unsigned char>(*p);
       if (c == '"') {
-        *off = start - out->buf.data();
-        *len = static_cast<int32_t>(p - start);
         p++;
+        if (dec.size() > static_cast<size_t>(INT32_MAX)) return fail("string too long");
+        if (!dec.empty() && dec.back() == '\0')
+          return fail("trailing NUL (S-dtype cannot carry it; fallback)");
+        *off = -(static_cast<int64_t>(out->extra.size()) + 1);
+        *len = static_cast<int32_t>(dec.size());
+        out->extra.append(dec);
         return true;
       }
-      if (c == '\\') return fail("escape sequence (fallback)");
-      if (c >= 0x80) return fail("non-ascii string (fallback)");
+      if (c == '\\') {
+        p++;
+        if (p >= end) return fail("truncated escape");
+        char e = *p;
+        p++;
+        switch (e) {
+          case '"': dec.push_back('"'); break;
+          case '\\': dec.push_back('\\'); break;
+          case '/': dec.push_back('/'); break;
+          case 'b': dec.push_back('\b'); break;
+          case 'f': dec.push_back('\f'); break;
+          case 'n': dec.push_back('\n'); break;
+          case 'r': dec.push_back('\r'); break;
+          case 't': dec.push_back('\t'); break;
+          case 'u': {
+            uint32_t cp;
+            if (!parse_hex4(&cp)) return false;
+            if (cp >= 0xD800 && cp <= 0xDBFF) {
+              // surrogate pair
+              if (end - p < 2 || p[0] != '\\' || p[1] != 'u')
+                return fail("lone surrogate (fallback)");
+              p += 2;
+              uint32_t lo;
+              if (!parse_hex4(&lo)) return false;
+              if (lo < 0xDC00 || lo > 0xDFFF)
+                return fail("lone surrogate (fallback)");
+              cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+            } else if (cp >= 0xDC00 && cp <= 0xDFFF) {
+              return fail("lone surrogate (fallback)");
+            }
+            if (cp == 0) return fail("\\u0000 (S-dtype cannot carry NUL; fallback)");
+            push_utf8(&dec, cp);
+            break;
+          }
+          default:
+            return fail("bad escape");
+        }
+        continue;
+      }
       if (c < 0x20) return fail("control char in string");
+      dec.push_back(static_cast<char>(c));
       p++;
     }
     return fail("unterminated string");
+  }
+
+  bool push_int(Column* col, int64_t v, int64_t row) {
+    if (col->kind == 2) return fail("mixed string/number column (fallback)");
+    if (col->kind == 1)
+      col->floats.push_back(static_cast<double>(v));
+    else
+      col->ints.push_back(v);
+    col->last_row = row;
+    return true;
   }
 
   // Number token: [-]digits[.digits][eE...]; from_chars for exactness.
@@ -130,6 +248,13 @@ struct Parser {
     return true;
   }
 
+  bool literal(const char* word, int64_t n) {
+    if (end - p < n || memcmp(p, word, static_cast<size_t>(n)) != 0)
+      return fail("unsupported value type (fallback)");
+    p += n;
+    return true;
+  }
+
   Column* find_col(const char* name, int32_t len, size_t hint) {
     auto& cols = out->cols;
     if (hint < cols.size() && cols[hint].name.size() == static_cast<size_t>(len)
@@ -145,14 +270,15 @@ struct Parser {
   bool parse_instance(int64_t row) {
     if (!expect('{')) return false;
     skip_ws();
-    size_t n_cols_before = out->cols.size();
     size_t filled = 0;
     if (p < end && *p == '}') { p++; goto done; }
     while (true) {
       int64_t koff; int32_t klen;
       if (!parse_string(&koff, &klen)) return false;
       if (!expect(':')) return false;
-      const char* kname = out->buf.data() + koff;
+      // span_ptr stays valid until the NEXT parse_string (the arena only
+      // grows then); col->name copies immediately below
+      const char* kname = span_ptr(koff);
       Column* col;
       if (row == 0) {
         if (find_col(kname, klen, filled) != nullptr)
@@ -181,6 +307,10 @@ struct Parser {
         col->last_row = row;
       } else if ((*p >= '0' && *p <= '9') || *p == '-') {
         if (!parse_number(col, row)) return false;
+      } else if (*p == 't') {
+        if (!literal("true", 4) || !push_int(col, 1, row)) return false;
+      } else if (*p == 'f') {
+        if (!literal("false", 5) || !push_int(col, 0, row)) return false;
       } else {
         return fail("unsupported value type (fallback)");
       }
@@ -191,39 +321,82 @@ struct Parser {
       return fail("unexpected token in instance");
     }
   done:
-    if (row == 0) {
-      (void)n_cols_before;
-      return true;
-    }
+    if (row == 0) return true;
     if (filled != out->cols.size())
       return fail("inconsistent instance keys (fallback)");
     return true;
   }
 
-  bool parse_body() {
-    if (!expect('{')) return false;
-    int64_t koff; int32_t klen;
-    if (!parse_string(&koff, &klen)) return false;
-    if (klen != 9 || memcmp(out->buf.data() + koff, "instances", 9) != 0)
-      return fail("first key is not instances (fallback)");
-    if (!expect(':')) return false;
+  bool parse_instances_array() {
     if (!expect('[')) return false;
     skip_ws();
     if (p < end && *p == ']') {
       p++;
+      return true;
+    }
+    int64_t row = 0;
+    while (true) {
+      if (!parse_instance(row)) return false;
+      row++;
+      skip_ws();
+      if (p < end && *p == ',') { p++; continue; }
+      if (p < end && *p == ']') { p++; break; }
+      return fail("unexpected token in instances array");
+    }
+    out->rows = row;
+    return true;
+  }
+
+  // Skip an extra top-level key's SCALAR value (e.g. "signature_name":
+  // "serving_default"). Nested values bail to the fallback.
+  bool skip_scalar() {
+    skip_ws();
+    if (p >= end) return fail("truncated body");
+    if (*p == '"') {
+      int64_t off; int32_t len;
+      return parse_string(&off, &len);
+    }
+    if ((*p >= '0' && *p <= '9') || *p == '-') {
+      const char* start = p;
+      if (*p == '-') p++;
+      while (p < end && ((*p >= '0' && *p <= '9') || *p == '.' || *p == 'e'
+                         || *p == 'E' || *p == '+' || *p == '-'))
+        p++;
+      return p != start || fail("expected number");
+    }
+    if (*p == 't') return literal("true", 4);
+    if (*p == 'f') return literal("false", 5);
+    if (*p == 'n') return literal("null", 4);
+    return fail("unsupported extra-key value (fallback)");
+  }
+
+  bool parse_body() {
+    if (!expect('{')) return false;
+    bool saw_instances = false;
+    skip_ws();
+    if (p < end && *p == '}') {
+      p++;
     } else {
-      int64_t row = 0;
       while (true) {
-        if (!parse_instance(row)) return false;
-        row++;
+        int64_t koff; int32_t klen;
+        if (!parse_string(&koff, &klen)) return false;
+        bool is_instances =
+            klen == 9 && memcmp(span_ptr(koff), "instances", 9) == 0;
+        if (!expect(':')) return false;
+        if (is_instances) {
+          if (saw_instances) return fail("duplicate instances key");
+          if (!parse_instances_array()) return false;
+          saw_instances = true;
+        } else {
+          if (!skip_scalar()) return false;
+        }
         skip_ws();
         if (p < end && *p == ',') { p++; continue; }
-        if (p < end && *p == ']') { p++; break; }
-        return fail("unexpected token in instances array");
+        if (p < end && *p == '}') { p++; break; }
+        return fail("unexpected token at top level");
       }
-      out->rows = row;
     }
-    if (!expect('}')) return fail("extra top-level keys (fallback)");
+    if (!saw_instances) return fail("no instances key (fallback)");
     skip_ws();
     if (p != end) return fail("trailing bytes");
     return true;
@@ -282,8 +455,9 @@ extern "C" int rectpu_json_col_copy(void* h, int64_t i, void* out) {
     char* dst = static_cast<char*>(out);
     for (size_t r = 0; r < c.spans.size(); r++) {
       const auto& s = c.spans[r];
-      memcpy(dst + r * c.max_len, j->buf.data() + s.first,
-             static_cast<size_t>(s.second));
+      const char* src = s.first >= 0 ? j->buf.data() + s.first
+                                     : j->extra.data() + (-s.first - 1);
+      memcpy(dst + r * c.max_len, src, static_cast<size_t>(s.second));
     }
   }
   return 0;

@@ -70,27 +70,43 @@ def init_mlp(rng, in_dim: int, hidden_units, out_dim: int = 1):
 
 
 def hash_dropout_mask(seed32, shape, rate: float):
-    """Counter-based Bernoulli(1-rate) keep mask: murmur3 finalizer over
-    (flat element index, seed) — ~8 VPU ops/element, no RNG state.
+    """Counter-based Bernoulli(1-rate) keep mask, no RNG state: one counter
+    hash per TWO elements — each 32-bit hash yields two independent 16-bit
+    threshold draws — with a single-multiply finalizer (~1 u32 multiply per
+    element; the VPU has no native 32-bit integer multiply, so multiplies
+    dominate this op's cost).
 
     JAX's default threefry bernoulli burns ~100 ALU ops per pair of uint32s;
     at the scaled config the two hidden-layer masks (3.1M elements) cost
-    ~0.25 ms of the 1.9 ms step. This is the same counter-hash trick as
-    optimizers.stochastic_round_bf16: deterministic given ``seed32`` (derive
-    it from the folded step rng), unbiased to ~2^-32."""
+    ~0.25 ms of the 1.9 ms step. Round 3's full murmur3-finalizer-per-
+    element version still measured 0.13-0.17 ms (35x its VPU bound,
+    roofline item); this 16-bit-split form measures ~0.03-0.08 ms at the
+    same shapes (benchmarks/_bench_dropout_mask.py). Statistical quality
+    validated vs the full murmur finalizer: keep-rate unbiased to <1e-3,
+    lag-{1,2,3,128,129,256,512} correlations < 0.003 over 1M draws, per-row
+    keep-count variance binomial (tests/test_hash_dropout.py + the CPU
+    sweep recorded in RESULTS.md round 4). Deterministic given ``seed32``
+    (derive it from the folded step rng); rate resolution is 2^-16 (bias
+    <1e-5 of the keep probability — far below the fp32 scale rounding).
+    Same counter-hash trick as optimizers.stochastic_round_bf16."""
+    if rate <= 0.0:
+        return jnp.ones(shape, bool)
     n = 1
     for d in shape:
         n *= int(d)
-    idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
+    nh = (n + 1) // 2
+    idx = jax.lax.iota(jnp.uint32, nh)
     h = idx * jnp.uint32(2654435761) + seed32 * jnp.uint32(0x9E3779B9)
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
     keep_p = 1.0 - rate
-    thresh = jnp.uint32(min(0xFFFFFFFF, int(round(keep_p * 4294967296.0))))
-    return h < thresh
+    thresh = jnp.uint32(max(1, min(0xFFFF, int(round(keep_p * 65536.0)))))
+    lanes = jnp.stack([h & jnp.uint32(0xFFFF), h >> 16], axis=1)
+    keep = (lanes < thresh).reshape(-1)
+    if nh * 2 != n:
+        keep = keep[:n]
+    return keep.reshape(shape)
 
 
 def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_dtype=None,

@@ -114,8 +114,21 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
                     results[f"scatter_tile/tr{tr}_cap{cap}"] = t
                     if t < best_t:
                         best_tile, best_t = (tr, cap), t
-            set_auto_tile(*best_tile)
-            results["scatter_tile/pick"] = best_tile
+            # second stage: tiles-per-grid-step at the winning (tr, cap) —
+            # fatter steps amortize the ~1.3 us/step grid overhead
+            best_tps = 1
+            for tps in (4, 8):
+                t = _time(
+                    lambda u, tps=tps: scatter_rows_dense(
+                        sc_ids, u, vocab_rows, tile_rows=best_tile[0],
+                        capacity=best_tile[1], tiles_per_step=tps),
+                    upd,
+                )
+                results[f"scatter_tile/tps{tps}"] = t
+                if t < best_t:
+                    best_tps, best_t = tps, t
+            set_auto_tile(*best_tile, tiles_per_step=best_tps)
+            results["scatter_tile/pick"] = (*best_tile, best_tps)
 
     # 3. flat FM: XLA fusion vs the lane-packed Pallas kernel, at the
     #    production dtype (bf16)

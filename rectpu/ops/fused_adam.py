@@ -110,7 +110,7 @@ def fused_adam_table(
     m_sr: bool = False,
     v_sr: bool = False,
     tile_rows: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Adam step for a [V, W] table: returns (p', m', v').
 
@@ -121,6 +121,10 @@ def fused_adam_table(
     (matching optimizers.adam's automatic behavior).
     V must divide by tile_rows — size tables with table_padding=tile_rows.
     """
+    if interpret is None:
+        from rectpu.ops.embedding import _on_tpu
+
+        interpret = not _on_tpu()
     vr, w = p.shape
     assert vr % tile_rows == 0, (vr, tile_rows)
     assert m.shape == v.shape == g.shape == p.shape

@@ -203,6 +203,38 @@ class ParallelPlan:
             batch, lambda v: P(self._batch_axes, *([None] * (np.ndim(v) - 1)))
         )
 
+    # -- device-resident training data (train/loop.py data_placement) --------
+
+    def put_replicated(self, tree: dict) -> dict:
+        """Replicate identical host arrays onto every mesh device (the
+        device-resident training dataset: per-device HBM cost equals the
+        single-chip path, any device can gather any row). Multi-process:
+        every host holds the same full arrays (CsvDataset encodes the whole
+        file per host), so the replicated global assembles from identical
+        local copies."""
+        return self._put_batchlike(tree, lambda v: P())
+
+    def put_index_batch(self, idx):
+        """Place a [B] (or [k, B] superbatch) row-index array sharded over
+        the batch axes — the only per-step host->device transfer of the
+        device-resident path. Multi-process: ``idx`` is this host's LOCAL
+        index rows (loader stride shard), assembled like any batch."""
+        lead = (None,) if np.ndim(idx) == 2 else ()
+        return self._put_batchlike(
+            {"idx": idx}, lambda v: P(*lead, self._batch_axes)
+        )["idx"]
+
+    def constrain_batch(self, batch: dict) -> dict:
+        """with_sharding_constraint over a batch pytree INSIDE jit: keeps the
+        device-resident gather's output sharded over the batch axes (GSPMD
+        would otherwise be free to replicate it before the EP shard_map)."""
+        return {
+            k: jax.lax.with_sharding_constraint(
+                v, self._sh(P(self._batch_axes, *([None] * (v.ndim - 1))))
+            )
+            for k, v in batch.items()
+        }
+
     def shard_superbatch(self, stacked: dict) -> dict:
         return self._put_batchlike(
             stacked, lambda v: P(None, self._batch_axes, *([None] * (np.ndim(v) - 2)))

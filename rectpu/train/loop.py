@@ -77,9 +77,12 @@ class TrainConfig:
     #             removing the per-step host->device transfer (measured CLI
     #             bottleneck through the TPU tunnel: ~1 MB + ~30 ms RTT per
     #             step caps throughput at ~0.7M ex/s regardless of model);
-    #   "auto":   device when single-process, unsharded, resident dataset
-    #             <= data_placement_max_bytes (a ParallelPlan or streaming
-    #             dataset keeps the host path).
+    #   "auto":   device whenever the resident dataset fits
+    #             data_placement_max_bytes per device (a streaming dataset
+    #             keeps the host path). Sharded/multi-process runs replicate
+    #             the dataset over the mesh and ship batch-sharded index
+    #             rows, so the flagship EP configuration takes the fast
+    #             staging path too.
     # Identical training either way: both paths consume the same
     # train_index_batches stream (io/loader.py), so placement — like a
     # restore — never changes which rows form a batch.
@@ -200,9 +203,17 @@ class Trainer:
             return params, opt_state, loss
 
         # device-resident data variants: the batch is a [B]-index gather from
-        # the resident dataset (a jit argument, NOT a baked-in constant)
+        # the resident dataset (a jit argument, NOT a baked-in constant).
+        # Sharded runs gather from the REPLICATED dataset with batch-sharded
+        # indices; the constraint pins the gathered batch to the batch axes
+        # so the step is byte-identical to the host-staged sharded path.
+        plan = self.plan
+
         def gather_batch(data, idx):
-            return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            if plan is not None:
+                batch = plan.constrain_batch(batch)
+            return batch
 
         def train_one_idx(params, opt_state, rng, step, idx, data):
             return train_one(params, opt_state, rng, step, gather_batch(data, idx))
@@ -230,6 +241,24 @@ class Trainer:
         self._train_chunk_idx = jax.jit(train_chunk_idx, donate_argnums=(0, 1))
         self._eval_cache = None  # device-resident stacked eval set
 
+    def _gather_for_save(self, tree):
+        """Host copy of the full (global) tree. Multi-process EP runs
+        row-shard tables across processes — those leaves are not addressable
+        from process 0 and plain device_get raises — so they are allgathered
+        first. COLLECTIVE when any leaf is non-addressable: every process
+        must call this at the same point (the loop's save cadence is
+        deterministic in step count, and the wall-clock cadence is broadcast
+        from process 0, so they do)."""
+        leaves = jax.tree.leaves(tree)
+        if any(
+            isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+            for leaf in leaves
+        ):
+            from jax.experimental import multihost_utils
+
+            tree = multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
+
     def _proc_info(self):
         """(num_processes, process_index) — multi-host via the plan, else (1, 0)."""
         if self.plan is not None:
@@ -248,11 +277,7 @@ class Trainer:
         mode = cfg.data_placement
         if mode == "host":
             return None
-        ok = (
-            self.plan is None
-            and nproc == 1
-            and hasattr(self.train_ds, "cat_ids")  # resident, not streaming
-        )
+        ok = hasattr(self.train_ds, "cat_ids")  # resident, not streaming
         nbytes = 0
         if ok:
             nbytes = (
@@ -260,25 +285,30 @@ class Trainer:
                 + self.train_ds.num_vals.nbytes
                 + self.train_ds.labels.nbytes
             )
+            # sharded runs REPLICATE the dataset over the mesh, so the limit
+            # stays a per-device budget either way
             ok = nbytes <= cfg.data_placement_max_bytes
         if not ok:
             if mode == "device":
                 raise ValueError(
-                    "data_placement='device' needs a single-process unsharded "
-                    "run with a resident (non-streaming) dataset no larger "
-                    f"than data_placement_max_bytes "
-                    f"({cfg.data_placement_max_bytes} B)"
+                    "data_placement='device' needs a resident (non-streaming) "
+                    "dataset no larger than data_placement_max_bytes "
+                    f"({cfg.data_placement_max_bytes} B) per device"
                 )
             return None
         logger.info(
-            "train data device-resident (%.1f MB): shipping only row indices "
-            "per step", nbytes / 1e6,
+            "train data device-resident (%.1f MB%s): shipping only row "
+            "indices per step", nbytes / 1e6,
+            ", replicated over the mesh" if self.plan is not None else "",
         )
-        return {
-            "cat_ids": jax.device_put(jnp.asarray(self.train_ds.cat_ids)),
-            "num_vals": jax.device_put(jnp.asarray(self.train_ds.num_vals)),
-            "labels": jax.device_put(jnp.asarray(self.train_ds.labels)),
+        tree = {
+            "cat_ids": np.asarray(self.train_ds.cat_ids),
+            "num_vals": np.asarray(self.train_ds.num_vals),
+            "labels": np.asarray(self.train_ds.labels),
         }
+        if self.plan is not None:
+            return self.plan.put_replicated(tree)
+        return {k: jax.device_put(jnp.asarray(v)) for k, v in tree.items()}
 
     # -- data staging ------------------------------------------------------------
 
@@ -506,8 +536,11 @@ class Trainer:
             raise ValueError(f"batch_size {cfg.batch_size} not divisible by {nproc} processes")
         resident = self._resolve_data_placement(cfg, nproc)
         if resident is not None:
+            # same stride-sharded stream as train_batches: each process
+            # contributes its local [B/nproc] index rows per step
             batch_iter = self.train_ds.train_index_batches(
-                cfg.batch_size, state=data_state, seed=cfg.seed,
+                cfg.batch_size // nproc, state=data_state, seed=cfg.seed,
+                shard_id=pidx, num_shards=nproc,
             )
         else:
             batch_iter = self.train_ds.train_batches(
@@ -520,16 +553,22 @@ class Trainer:
         last_metrics: dict = {}
 
         def save(step, params, opt_state, data_state):
-            if pidx != 0:
-                return  # params are host-replicated; process 0 owns the disk
-            self.ckpt.save(
-                step,
-                {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)},
-                extra_meta={
-                    "data_state": dataclasses.asdict(data_state) if data_state else None,
-                    "model": getattr(self.model, "name", "model"),
-                },
+            # the gather is collective (EP shards live on other processes);
+            # every process reaches it, process 0 owns the disk. Returns the
+            # host params so histogram/export consumers don't re-gather.
+            tree = self._gather_for_save(
+                {"params": params, "opt_state": opt_state}
             )
+            if pidx == 0:
+                self.ckpt.save(
+                    step,
+                    tree,
+                    extra_meta={
+                        "data_state": dataclasses.asdict(data_state) if data_state else None,
+                        "model": getattr(self.model, "name", "model"),
+                    },
+                )
+            return tree["params"]
 
         profiling = False
         pipelined = self._dispatch_mode() == "pipelined"
@@ -550,7 +589,10 @@ class Trainer:
                     b, data_state = next(batch_iter)
                     if resident is not None:
                         # only the [B] row indices cross to the device
-                        return jax.device_put(np.asarray(b, np.int32))
+                        idx = np.asarray(b, np.int32)
+                        if self.plan is not None:
+                            return self.plan.put_index_batch(idx)
+                        return jax.device_put(idx)
                     if self.plan is not None:
                         return self.plan.shard_batch(b)
                     return {kk: jax.device_put(v) for kk, v in b.items()}
@@ -577,7 +619,12 @@ class Trainer:
                 for _ in range(k):
                     b, data_state = next(batch_iter)
                     idxs.append(np.asarray(b, np.int32))
-                idxs = jax.device_put(np.stack(idxs))
+                idxs = np.stack(idxs)
+                idxs = (
+                    self.plan.put_index_batch(idxs)
+                    if self.plan is not None
+                    else jax.device_put(idxs)
+                )
                 params, opt_state, step_dev, losses = self._train_chunk_idx(
                     params, opt_state, rng, jnp.asarray(step, jnp.int32),
                     idxs, resident,
@@ -615,8 +662,22 @@ class Trainer:
                 and cfg.save_checkpoints_secs is not None
                 and time.time() - last_save >= cfg.save_checkpoints_secs
             )
+            if (
+                nproc > 1
+                and cfg.save_checkpoints_steps is None
+                and cfg.save_checkpoints_secs is not None
+            ):
+                # wall clocks drift across processes and save() is collective
+                # (EP allgather): process 0's clock decides for everyone.
+                # EVERY process runs the broadcast each loop — gating it on
+                # the local clock would deadlock the collective.
+                from jax.experimental import multihost_utils
+
+                due_secs = bool(
+                    multihost_utils.broadcast_one_to_all(np.asarray(bool(due_secs)))
+                )
             if (due_steps or due_secs) and step < cfg.train_steps:
-                save(step, params, opt_state, data_state)
+                host_params = save(step, params, opt_state, data_state)
                 last_save = time.time()
                 last_metrics = self.evaluate(params)
                 logger.info("eval at step %d: %s", step, _fmt_metrics(last_metrics))
@@ -624,18 +685,18 @@ class Trainer:
                     self.events.add_scalars(
                         {f"eval/{k}": v for k, v in last_metrics.items()}, step
                     )
-                self._log_histograms(params, step)
+                self._log_histograms(host_params, step)
                 if self.exporter is not None and pidx == 0:
-                    self._export(params, step, last_metrics)
+                    self._export(host_params, step, last_metrics)
 
-        save(step, params, opt_state, data_state)
+        host_params = save(step, params, opt_state, data_state)
         if cfg.final_eval:
             last_metrics = self.evaluate(params)
             logger.info("final eval at step %d: %s", step, _fmt_metrics(last_metrics))
             if self.events:
                 self.events.add_scalars({f"eval/{k}": v for k, v in last_metrics.items()}, step)
         if self.exporter is not None and pidx == 0:
-            self._export(params, step, last_metrics)
+            self._export(host_params, step, last_metrics)
         if self.events:
             self.events.flush()
         self.ckpt.wait()

@@ -92,3 +92,30 @@ def test_repack_placement_matches_resident():
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5,
                                    err_msg=placement)
+
+
+def test_tiles_per_step_matches_reference():
+    """Round-4: tiles_per_step>1 (multiple output tiles per grid step, the
+    grid-overhead amortization) is bit-equivalent to tps=1 on both stream
+    placements, including grids the tps does not divide (phantom padding
+    tiles emit zeros that slice off)."""
+    import numpy as np
+
+    from rectpu.ops.scatter_rows import scatter_rows_dense
+
+    rng = np.random.default_rng(11)
+    w = 5
+    for v, r, tr, cap in [(64 * 20, 700, 64, 96), (64 * 9 + 17, 400, 64, 128)]:
+        ids = jnp.asarray(rng.integers(0, v, size=r).astype(np.int32))
+        upd = jnp.asarray(rng.normal(size=(r, w)).astype(np.float32))
+        want = np.zeros((v, w), np.float32)
+        np.add.at(want, np.asarray(ids), np.asarray(upd))
+        for tps in (2, 4, 8):
+            for placement in ("resident", "repack"):
+                got = scatter_rows_dense(
+                    ids, upd, v, tile_rows=tr, capacity=cap, interpret=True,
+                    stream_placement=placement, tiles_per_step=tps,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got), want, rtol=1e-5, atol=1e-5,
+                    err_msg=f"v={v} tps={tps} {placement}")

@@ -429,17 +429,48 @@ def test_native_json_parse_matches_python_fallback():
                                   np.asarray([1.5, 2.0]))
     assert cols_f["age"].dtype == np.float64
 
-    # everything outside the fast shape bails to the Python path
+    # round-4 widened coverage: escapes, \uXXXX (incl. surrogate pairs),
+    # non-ASCII passthrough, booleans, extra scalar top-level keys — each
+    # must produce EXACTLY what the json.loads fallback feeds downstream
+    def fallback_columns(raw):
+        body = json.loads(raw)
+        return instances_to_columns(body["instances"])
+
+    for wide in [
+        '{"instances": [{"a": "café"}, {"a": "ü"}]}'.encode("utf-8"),
+        b'{"instances": [{"a": "x\\ny"}, {"a": "q\\"\\\\"}]}',
+        b'{"instances": [{"a": "\\u00e9\\u4e2d"}, {"a": "\\ud83d\\ude00"}]}',
+        b'{"instances": [{"flag": true}, {"flag": false}]}',
+        b'{"signature_name": "serving_default", "instances": [{"a": 1}]}',
+        b'{"instances": [{"a": 1}], "signature_name": "x"}',
+    ]:
+        got = native.parse_json_instances(wide)
+        assert got is not None, wide
+        cols_w, n_w = got
+        ref = fallback_columns(wide)
+        assert n_w == len(next(iter(ref.values())))
+        assert set(cols_w) == set(ref)
+        for k in ref:
+            ref_k = ref[k]
+            if ref_k.dtype.kind == "U":  # str objects -> utf-8 bytes
+                ref_k = np.asarray([s.encode("utf-8") for s in ref_k])
+            np.testing.assert_array_equal(
+                cols_w[k].astype(ref_k.dtype, copy=False)
+                if cols_w[k].dtype.kind != "S" else cols_w[k],
+                ref_k, err_msg=f"{wide} col {k}")
+
+    # everything still outside the fast shape bails to the Python path
     for bad in [
         b"",                                        # empty body
         b"not json",
         b'{"x": 1}',                                # no instances key
         b'{"instances": [{"a": 1}, {"b": 2}]}',     # inconsistent keys
         b'{"instances": [{"a": [1]}]}',             # nested value
-        b'{"instances": [{"a": true}]}',            # literal
-        '{"instances": [{"a": "café"}]}'.encode(),  # non-ASCII
-        b'{"instances": [{"a": "x\\n"}]}',          # escape
-        b'{"instances": [{"a": 1}], "y": 2}',       # extra top-level key
+        b'{"instances": [{"a": null}]}',            # null (fallback fills 0)
+        b'{"instances": [{"a": "\\ud800"}]}',       # lone surrogate
+        b'{"instances": [{"a": "\\u0000"}]}',       # NUL (S-dtype can't)
+        b'{"instances": [{"a": 1}], "y": {"n": 1}}',  # nested extra key
+        b'{"instances": [{"a": 1}, {"a": "s"}]}',   # mixed column
     ]:
         assert native.parse_json_instances(bad) is None, bad
 
