@@ -79,9 +79,15 @@ def hash_dropout_mask(seed32, shape, rate: float):
     JAX's default threefry bernoulli burns ~100 ALU ops per pair of uint32s;
     at the scaled config the two hidden-layer masks (3.1M elements) cost
     ~0.25 ms of the 1.9 ms step. Round 3's full murmur3-finalizer-per-
-    element version still measured 0.13-0.17 ms (35x its VPU bound,
-    roofline item); this 16-bit-split form measures ~0.03-0.08 ms at the
-    same shapes (benchmarks/_bench_dropout_mask.py). Statistical quality
+    element version measured 0.13-0.17 ms in ISOLATION (35x its VPU bound,
+    roofline item); with this form the full train step measures AT the
+    dropout-off floor — the mask is free in-step (chained med-of-5 A/B,
+    RESULTS.md round-4 HW session; much of the isolated row was a
+    measurement-isolation artifact — XLA fuses most of the mask cost).
+    LAYOUT WARNING: an interleaved [nh, 2] -> [n] reshape variant timed
+    fastest BARE but 2x the whole STEP fused (the relayout breaks XLA's
+    fusion); only the last-axis half-split below is step-safe. Statistical
+    quality
     validated vs the full murmur finalizer: keep-rate unbiased to <1e-3,
     lag-{1,2,3,128,129,256,512} correlations < 0.003 over 1M draws, per-row
     keep-count variance binomial (tests/test_hash_dropout.py + the CPU
@@ -91,22 +97,42 @@ def hash_dropout_mask(seed32, shape, rate: float):
     Same counter-hash trick as optimizers.stochastic_round_bf16."""
     if rate <= 0.0:
         return jnp.ones(shape, bool)
+    keep_p = 1.0 - rate
+    last = int(shape[-1]) if len(shape) else 0
+    if len(shape) >= 1 and last % 2 == 0 and last > 0:
+        # layout-friendly split: hash [..., last/2], columns [0, last/2)
+        # take the low 16 bits, [last/2, last) the high — NO lane
+        # interleave. (A [nh, 2] -> [n] interleaved reshape measured
+        # CATASTROPHIC fused into the train step: 2.92 ms/step vs the
+        # 1.46 ms floor — it forces a relayout that breaks XLA's fusion.
+        # This half-split form measures AT the no-dropout floor, i.e. the
+        # mask is free: benchmarks/_tmp round-4 session, med-of-5 chained.)
+        m = 1
+        for d in shape[:-1]:
+            m *= int(d)
+        half = last // 2
+        idx = jax.lax.iota(jnp.uint32, m * half).reshape(shape[:-1] + (half,))
+        h = idx * jnp.uint32(2654435761) + seed32 * jnp.uint32(0x9E3779B9)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        thresh = jnp.uint32(max(1, min(0xFFFF, int(round(keep_p * 65536.0)))))
+        return jnp.concatenate(
+            [(h & jnp.uint32(0xFFFF)) < thresh, (h >> 16) < thresh], axis=-1
+        )
+    # odd last dim (rare): per-element murmur finalizer, full 32-bit draws
     n = 1
     for d in shape:
         n *= int(d)
-    nh = (n + 1) // 2
-    idx = jax.lax.iota(jnp.uint32, nh)
+    idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
     h = idx * jnp.uint32(2654435761) + seed32 * jnp.uint32(0x9E3779B9)
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)
-    keep_p = 1.0 - rate
-    thresh = jnp.uint32(max(1, min(0xFFFF, int(round(keep_p * 65536.0)))))
-    lanes = jnp.stack([h & jnp.uint32(0xFFFF), h >> 16], axis=1)
-    keep = (lanes < thresh).reshape(-1)
-    if nh * 2 != n:
-        keep = keep[:n]
-    return keep.reshape(shape)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    thresh = jnp.uint32(min(0xFFFFFFFF, int(round(keep_p * 4294967296.0))))
+    return h < thresh
 
 
 def apply_mlp(layers, x, activation, dropout: float, train: bool, rng, compute_dtype=None,

@@ -58,8 +58,11 @@ DROP_SENTINEL = 2**31 // 2 - 1
 # cap=512 — RESULTS.md: smaller AND larger tiles measured worse) are the
 # defaults; ops/autotune sweeps the grid at the working shapes and re-pins.
 # tiles_per_step: output tiles emitted per Pallas grid step (the ~1.3 us
-# per-step overhead was ~0.2 ms of the 152-tile flat backward).
-_AUTO_TILE = {"tile_rows": 2048, "capacity": 512, "tiles_per_step": 1}
+# per-step overhead was ~0.2 ms of the 152-tile flat backward). 4 measured
+# a consistent ~8-10% win over 1 at the default geometry in two round-4
+# sessions (benchmarks/_bench_scatter_tps.py medians: 0.419/0.465 ms vs
+# 0.457/0.504); the autotuner re-sweeps per hardware.
+_AUTO_TILE = {"tile_rows": 2048, "capacity": 512, "tiles_per_step": 4}
 
 
 def set_auto_tile(tile_rows: int, capacity: int,
