@@ -229,9 +229,13 @@ def _interact_xla_fast_bwd(num_fields, k, itself, flat, g):
 interact_xla_fast.defvjp(_interact_xla_fast_fwd, _interact_xla_fast_bwd)
 
 
-# "auto" resolution (pinned by ops/autotune; "xla" = the measured winner at
-# every tested shape so far — the batched-matmul fwd + fast custom bwd)
-_INTERACT_AUTO = {"tpu": "xla", "other": "xla"}
+# "auto" resolution (pinned by ops/autotune). TPU default flipped to
+# "pallas-mxu" in round 4: three consecutive A/B sessions (RESULTS.md) put
+# the MXU-reduction forward below the XLA batched matmul at [8192, 26, 64]
+# (1.00/2.40/1.02 ms vs xla 1.3-4.8 in the same sessions); round-2's lone
+# 0.745 ms xla quiet record never reproduced. --autotune still re-pins per
+# hardware/shape.
+_INTERACT_AUTO = {"tpu": "pallas-mxu", "other": "xla"}
 
 
 def set_interact_auto_impl(name: str, on_tpu: bool = True) -> None:

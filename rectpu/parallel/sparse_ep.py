@@ -4,10 +4,10 @@ This closes the flagship-scale composition gap: EP row-sharding
 (parallel/embedding_ep.py) replaces the reference's parameter-server-hosted
 embedding variables (/root/reference/distributed.md:43-82), and the sparse
 fast step (train/fast_step.py) replaces TF's ``_apply_sparse`` lazy-Adam
-kernels — but a multi-GB sharded table needs BOTH at once: the regime where
-sharding matters (dense sweep 22.5 ms vs sparse 1.77 ms at 6M rows,
-RESULTS.md) is exactly the regime where a dense per-shard optimizer sweep is
-unaffordable.
+kernels — but a multi-GB sharded table needs BOTH at once: past ~2B
+elements per shard (the honestly re-measured crossover, RESULTS.md round 3)
+the dense per-shard optimizer sweep becomes unaffordable and only the
+touched rows may move.
 
 Row routing runs in one shard_map over the ('data','model') mesh. Per
 device:
@@ -61,10 +61,12 @@ def make_sparse_rows_ep(
     beta2: float = 0.999,
     epsilon: float = 1e-8,
 ):
-    """Build ``update(table, m, v, ids, dlooked, lr_t) -> (table, m, v)``.
+    """Build ``update(table, mv, ids, dlooked, lr_t) -> (table, mv)``.
 
-    ``table``/``m``/``v``: [V, W] leaves row-sharded P('model', None);
-    ``ids``: [B, F] int32 global row ids, sharded on the batch dim over
+    ``table``: [V, W] leaf row-sharded P('model', None); ``mv``: the PACKED
+    [V, 2W] m|v slot slab, sharded alike (four per-row state passes instead
+    of six — train/sparse.sparse_adam_rows_packed rationale); ``ids``:
+    [B, F] int32 global row ids, sharded on the batch dim over
     ('data','model') when ``batch_2d`` (the 2d/dedup EP batch layout) else
     over 'data' alone (1d EP: replicated over 'model'); ``dlooked``:
     [B, F, W] cotangents of the gathered rows, sharded like ``ids``;
@@ -73,10 +75,10 @@ def make_sparse_rows_ep(
     n_model = mesh.shape[MODEL_AXIS]
     batch_axes = (DATA_AXIS, MODEL_AXIS) if batch_2d else DATA_AXIS
 
-    def local_rows(table, m, v, ids, dl, lr_t):
+    def local_rows(table, mv, ids, dl, lr_t):
         """Per-device: route cotangent rows to this shard, compute the
-        updated p/m/v ROW VALUES. Returns (global_rows, p_rows, m_rows,
-        v_rows) — small [L(, W)] tensors; non-owned/sentinel entries carry
+        updated p/mv ROW VALUES. Returns (global_rows, p_rows, mv_rows) —
+        small [L(, W)] tensors; non-owned/sentinel entries carry
         the out-of-range id V (dropped by the caller's scatters)."""
         v_shard, w = table.shape
         v_total = v_shard * n_model
@@ -131,26 +133,26 @@ def make_sparse_rows_ep(
         safe = jnp.clip(local, 0, v_shard - 1)
 
         g = grads.astype(table.dtype)
-        m_rows = jnp.take(m, safe, axis=0) * beta1 + g * (1 - beta1)
-        v_rows = jnp.take(v, safe, axis=0) * beta2 + jnp.square(g) * (1 - beta2)
+        mv_rows = jnp.take(mv, safe, axis=0)  # ONE gather covers m and v
+        m_rows = mv_rows[:, :w] * beta1 + g * (1 - beta1)
+        v_rows = mv_rows[:, w:] * beta2 + jnp.square(g) * (1 - beta2)
         p_rows = (
             jnp.take(table, safe, axis=0)
             - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
         )
         rows_g = jnp.where(owned, rows, v_total)  # V = drop sentinel
-        return rows_g, p_rows, m_rows, v_rows
+        return rows_g, p_rows, jnp.concatenate([m_rows, v_rows], axis=1)
 
-    def update(table, m, v, ids, dlooked, lr_t):
+    def update(table, mv, ids, dlooked, lr_t):
         # check_vma=False: the checker cannot infer that the all_gather over
         # 'data' makes the row streams identical on every 'data' replica —
         # true by construction (step 3 above) and pinned by the
         # sharded==single-device equality tests.
-        rows_g, p_rows, m_rows, v_rows = shard_map(
+        rows_g, p_rows, mv_rows = shard_map(
             local_rows,
             mesh=mesh,
             check_vma=False,
             in_specs=(
-                P(MODEL_AXIS, None),
                 P(MODEL_AXIS, None),
                 P(MODEL_AXIS, None),
                 P(batch_axes, None),
@@ -161,15 +163,13 @@ def make_sparse_rows_ep(
                 P(MODEL_AXIS),
                 P(MODEL_AXIS, None),
                 P(MODEL_AXIS, None),
-                P(MODEL_AXIS, None),
             ),
-        )(table, m, v, ids, dlooked, lr_t)
+        )(table, mv, ids, dlooked, lr_t)
         # the scatters run here — OUTSIDE the shard_map — so the outer jit's
         # buffer donation aliases the [V, W] state in place (each global row
         # id appears at most once across shards; sentinels drop)
         table = table.at[rows_g].set(p_rows, mode="drop")
-        m = m.at[rows_g].set(m_rows, mode="drop")
-        v = v.at[rows_g].set(v_rows, mode="drop")
-        return table, m, v
+        mv = mv.at[rows_g].set(mv_rows, mode="drop")
+        return table, mv
 
     return update

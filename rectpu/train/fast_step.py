@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from rectpu.ops.embedding import embedding_lookup
 from rectpu.train import metrics as metrics_lib
-from rectpu.train.sparse import adam_lr_t, dedupe_rows, sparse_adam_rows
+from rectpu.train.sparse import adam_lr_t, dedupe_rows, sparse_adam_rows_packed
 
 
 def make_sparse_step(
@@ -131,9 +131,16 @@ def make_sparse_step(
 
     def init_opt_state(params):
         sparse, rest = split_params(params)
-        tree = {"sparse": sparse, "rest": rest}
-        return {"m": jax.tree.map(jnp.zeros_like, tree),
-                "v": jax.tree.map(jnp.zeros_like, tree),
+
+        def mv0(leaf):
+            # m and v PACKED as one [V, 2W] slab: halves the per-row state
+            # passes of the lazy update (see sparse_adam_rows_packed)
+            w = leaf.shape[1] if leaf.ndim == 2 else 1
+            return jnp.zeros((leaf.shape[0], 2 * w), leaf.dtype)
+
+        return {"m": {"rest": jax.tree.map(jnp.zeros_like, rest)},
+                "v": {"rest": jax.tree.map(jnp.zeros_like, rest)},
+                "mv_sparse": jax.tree.map(mv0, sparse),
                 "t": jnp.zeros((), jnp.int32)}
 
     def step(params, opt_state, batch, rng, step_idx):
@@ -187,15 +194,14 @@ def make_sparse_step(
             lambda p, m_, v_: p - lr_t * m_ / (jnp.sqrt(v_) + epsilon), rest, m_rest, v_rest
         )
 
-        # lazy Adam on exactly the touched table rows
-        m_sp, v_sp = opt_state["m"]["sparse"], opt_state["v"]["sparse"]
+        # lazy Adam on exactly the touched table rows (m/v packed per leaf)
+        mv_sp = opt_state["mv_sparse"]
         if ep:
-            tbl_new, m_tbl, v_tbl = ep_update(
-                sparse[table_key], m_sp[table_key], v_sp[table_key],
-                ids, dlooked, lr_t,
+            tbl_new, mv_tbl = ep_update(
+                sparse[table_key], mv_sp[table_key], ids, dlooked, lr_t,
             )
             new_sparse = {table_key: tbl_new}
-            m_sp_new, v_sp_new = {table_key: m_tbl}, {table_key: v_tbl}
+            mv_sp_new = {table_key: mv_tbl}
         else:
             v_rows = table.shape[0]
             cols = dlooked.shape[-1]
@@ -203,29 +209,29 @@ def make_sparse_step(
                 ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32), v_rows
             )
             if packed or not use_linear:
-                tbl_new, m_tbl, v_tbl = sparse_adam_rows(
-                    sparse[table_key], m_sp[table_key], v_sp[table_key],
+                tbl_new, mv_tbl = sparse_adam_rows_packed(
+                    sparse[table_key], mv_sp[table_key],
                     rows, row_grads, lr_t, beta1, beta2, epsilon,
                 )
                 new_sparse = {table_key: tbl_new}
-                m_sp_new, v_sp_new = {table_key: m_tbl}, {table_key: v_tbl}
+                mv_sp_new = {table_key: mv_tbl}
             else:
-                emb_new, m_emb, v_emb = sparse_adam_rows(
-                    sparse["emb"], m_sp["emb"], v_sp["emb"], rows, row_grads[:, :k],
+                emb_new, mv_emb = sparse_adam_rows_packed(
+                    sparse["emb"], mv_sp["emb"], rows, row_grads[:, :k],
                     lr_t, beta1, beta2, epsilon,
                 )
-                w_new, m_w, v_w = sparse_adam_rows(
-                    sparse["w"], m_sp["w"], v_sp["w"], rows, row_grads[:, k],
+                w_new, mv_w = sparse_adam_rows_packed(
+                    sparse["w"], mv_sp["w"], rows, row_grads[:, k],
                     lr_t, beta1, beta2, epsilon,
                 )
                 new_sparse = {"emb": emb_new, "w": w_new}
-                m_sp_new = {"emb": m_emb, "w": m_w}
-                v_sp_new = {"emb": v_emb, "w": v_w}
+                mv_sp_new = {"emb": mv_emb, "w": mv_w}
 
         params = join_params(new_sparse, rest)
         opt_state = {
-            "m": {"sparse": m_sp_new, "rest": m_rest},
-            "v": {"sparse": v_sp_new, "rest": v_rest},
+            "m": {"rest": m_rest},
+            "v": {"rest": v_rest},
+            "mv_sparse": mv_sp_new,
             "t": t,
         }
         return params, opt_state, loss

@@ -90,6 +90,44 @@ def sparse_adam_rows(
     return params, m, v
 
 
+def sparse_adam_rows_packed(
+    params: jax.Array,
+    mv: jax.Array,
+    rows: jax.Array,
+    row_grads: jax.Array,
+    lr_t: jax.Array,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    epsilon: float = 1e-8,
+    sorted_rows: bool = True,
+):
+    """``sparse_adam_rows`` with the m/v slots PACKED as one [V, 2W] slab.
+
+    Random-row state traffic is LATENCY-bound at big-table scale
+    (~0.3 us/row regardless of width, RESULTS.md round-3 re-measurement);
+    the unpacked form pays SIX per-row passes (gather p/m/v + scatter
+    p/m/v), this one pays FOUR (p and the combined mv). Bitwise-identical
+    arithmetic: the packed columns are [m | v].
+
+    ``params`` may be [V, W] or [V] (a fused linear weight) — mv is then
+    [V, 2W] or [V, 2].
+    """
+    vec = params.ndim == 1
+    p2 = params[:, None] if vec else params
+    w = p2.shape[1]
+    g = (row_grads[:, None] if vec else row_grads).astype(p2.dtype)
+    mv_rows = mv[rows]
+    m_rows = mv_rows[:, :w] * beta1 + g * (1 - beta1)
+    v_rows = mv_rows[:, w:] * beta2 + jnp.square(g) * (1 - beta2)
+    p_rows = p2[rows] - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
+    mv = mv.at[rows].set(
+        jnp.concatenate([m_rows, v_rows], axis=1), mode="drop",
+        indices_are_sorted=sorted_rows,
+    )
+    p2 = p2.at[rows].set(p_rows, mode="drop", indices_are_sorted=sorted_rows)
+    return (p2[:, 0] if vec else p2), mv
+
+
 def adam_lr_t(learning_rate: float, t: jax.Array, beta1: float = 0.9, beta2: float = 0.999):
     tf_ = t.astype(jnp.float32)
     return learning_rate * jnp.sqrt(1.0 - beta2**tf_) / (1.0 - beta1**tf_)
