@@ -47,13 +47,24 @@ def build():
 
 
 def run(fj, inits, staged, steps=200):
-    state = fj(*inits, jnp.asarray(0, jnp.int32), staged[0])
-    jax.block_until_ready(state[-1])
-    t0 = time.time()
-    for i in range(steps):
-        state = fj(*state[:-1], jnp.asarray(i + 1, jnp.int32), staged[i % len(staged)])
-    jax.block_until_ready(state[-1])
-    return (time.time() - t0) / steps
+    """Chained slope timing (round-4 upgrade: the naive time.time loop this
+    used before is burst-contaminated through the tunnel — min/median of
+    chained two-point slopes per the timing doctrine)."""
+    import statistics
+
+    from rectpu.utils.timing import chained_slope_s
+
+    def step_fn(carry):
+        params, opt_state, step = carry
+        p2, o2, loss = fj(params, opt_state, step, staged[0])
+        return (p2, o2, step + 1)
+
+    # donation means carry0's buffers die on the first call: use the
+    # utility's internal repeats (they continue the live chain) rather than
+    # re-calling with the consumed carry
+    del statistics
+    carry0 = (*inits, jnp.asarray(0, jnp.int32))
+    return chained_slope_s(step_fn, carry0, (10, 40), repeats=5)
 
 
 def main():
