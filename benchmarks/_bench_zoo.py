@@ -100,6 +100,15 @@ def main():
     measure(DLRMModel(TowerConfig(**base, flat_layout=True, scatter_impl="mxu",
                                   table_padding=2048)),
             staged, batch)
+    # xDeepFM (round 4): flat lookup + CIN(64, 64) + DNN — the CIN
+    # outer-product expansion is the honest architectural cost (B*H*M*K
+    # elements per layer materialize; see models/xdeep_fm.py docstring)
+    from rectpu.models import XDeepFMModel
+
+    measure(XDeepFMModel(TowerConfig(**base, flat_layout=True,
+                                     scatter_impl="mxu", packed_linear=True,
+                                     table_padding=2048)),
+            staged, batch)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@ from rectpu.models.dlrm import DLRMModel
 from rectpu.models.dnn import DNNModel
 from rectpu.models.linear import LinearModel
 from rectpu.models.wide_deep import WideDeepModel
+from rectpu.models.xdeep_fm import XDeepFMModel
 
 MODEL_REGISTRY = {
     "linear": LinearModel,
@@ -13,6 +14,7 @@ MODEL_REGISTRY = {
     "deep_fm": DeepFMModel,
     "dlrm": DLRMModel,
     "dcn": DCNModel,
+    "xdeep_fm": XDeepFMModel,
 }
 
 __all__ = [
@@ -23,5 +25,6 @@ __all__ = [
     "DeepFMModel",
     "DLRMModel",
     "DCNModel",
+    "XDeepFMModel",
     "MODEL_REGISTRY",
 ]
