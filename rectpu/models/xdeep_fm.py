@@ -131,24 +131,22 @@ class XDeepFMModel:
     # -- CIN --------------------------------------------------------------
 
     def _cin_logit(self, params, emb):
-        """emb [B, M, K] -> scalar CIN logit [B] (fp32)."""
-        cfg = self.cfg
+        """emb [B, M, K] -> scalar CIN logit [B] (fp32).
+
+        Each layer is ops/cin.cin_core — the CUSTOM-VJP contraction. The
+        custom VJP is the load-bearing part: plain autodiff through the
+        naive expansion saves the [B, H, M, K] intermediate as a backward
+        residual and materializes its cotangent (~3.4 GB/step of HBM
+        traffic at the scaled config — the first zoo row read 16.2
+        ms/step); cin_core's backward reuses the forward contraction with
+        renamed weight axes and never forms either (RESULTS.md round 4)."""
+        from rectpu.ops.cin import cin_core
+
         x0 = emb
         x = x0
         pools = []
         for layer in params["cin"]:
-            w = layer["w"].astype(x.dtype)  # [H, M, O]
-            # outer-product expansion: both broadcasts come from size-1 axes
-            z = x[:, :, None, :] * x0[:, None, :, :]  # [B, H, M, K]
-            # one dot, two contracting dims (h, m); k rides as a batch-free
-            # trailing dim of the lhs -> XLA lowers to a single MXU matmul
-            # over the collapsed [B*K, H*M] layout
-            x = jax.lax.dot_general(
-                z, w,
-                dimension_numbers=(((1, 2), (0, 1)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [B, K, O]
-            x = x.transpose(0, 2, 1).astype(emb.dtype)  # [B, O, K]
+            x = cin_core(x, x0, layer["w"].astype(x.dtype))  # [B, O, K]
             pools.append(jnp.sum(x.astype(jnp.float32), axis=2))  # [B, O]
         p = jnp.concatenate(pools, axis=1)  # [B, sum H]
         out = params["cin_out"]
