@@ -109,6 +109,14 @@ def main():
                                      scatter_impl="mxu", packed_linear=True,
                                      table_padding=2048)),
             staged, batch)
+    # AutoInt (round 4): field self-attention — all batched MXU matmuls
+    from rectpu.models import AutoIntModel
+
+    measure(AutoIntModel(TowerConfig(**base, flat_layout=True,
+                                     scatter_impl="mxu", packed_linear=True,
+                                     table_padding=2048),
+                         num_layers=2, num_heads=2),
+            staged, batch)
 
 
 if __name__ == "__main__":

@@ -1,3 +1,4 @@
+from rectpu.models.autoint import AutoIntModel
 from rectpu.models.base import TowerConfig
 from rectpu.models.dcn import DCNModel
 from rectpu.models.deep_fm import DeepFMModel
@@ -15,6 +16,7 @@ MODEL_REGISTRY = {
     "dlrm": DLRMModel,
     "dcn": DCNModel,
     "xdeep_fm": XDeepFMModel,
+    "autoint": AutoIntModel,
 }
 
 __all__ = [
@@ -26,5 +28,6 @@ __all__ = [
     "DLRMModel",
     "DCNModel",
     "XDeepFMModel",
+    "AutoIntModel",
     "MODEL_REGISTRY",
 ]
