@@ -1,4 +1,5 @@
-"""Scaled-config training throughput for the extra model families (DLRM, DCN).
+"""Scaled-config training throughput for the extra model families (DLRM, DCN,
+xDeepFM, AutoInt).
 
 Same measurement discipline as bench.py (chained pipelined dispatch over
 pre-staged batches, donated state): batch 8192, K=64, the large hashed
