@@ -112,7 +112,16 @@ class AutoIntModel:
     # -- attention ---------------------------------------------------------
 
     def _interacting_layer(self, layer, x):
-        """x [B, M, Din] -> relu(multi-head attention + residual) [B, M, D]."""
+        """x [B, M, Din] -> relu(multi-head attention + residual) [B, M, D].
+
+        The q k^T / att v products are EXPLICIT broadcast-multiply + sum
+        rather than einsum/dot: at tiny field counts the dot form lowers to
+        B*heads per-example [M, E]-class batched matmuls, the same
+        latency-bound shape the DLRM interaction fights — measured 2x
+        slower end to end than letting XLA fuse the multiply into the
+        reduction on the VPU (9.5 vs 3.9 ms fwd, 19.7 vs 10.1 fwd+bwd at
+        [8192, 26, 64], 2 layers x 2 heads; RESULTS.md round 4). The
+        projections stay MXU matmuls."""
         nh, dh = self.num_heads, self.head_dim
         b, m, _ = x.shape
 
@@ -122,13 +131,15 @@ class AutoIntModel:
             return out.astype(x.dtype).reshape(b, m, nh, dh)
 
         q, k, v = proj(layer["wq"]), proj(layer["wk"]), proj(layer["wv"])
-        # field-to-field attention; fp32 softmax
-        logits = jnp.einsum("bmhe,bnhe->bhmn", q, k,
-                            preferred_element_type=jnp.float32)
-        att = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(dh)), axis=-1)
-        out = jnp.einsum("bhmn,bnhe->bmhe", att.astype(x.dtype), v,
-                         preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype).reshape(b, m, nh * dh)
+        # field-to-field attention; fp32 softmax. [B, M, N, H] logits via a
+        # reduction-fused broadcast product (no batched matmul).
+        logits = (
+            q[:, :, None].astype(jnp.float32)
+            * k[:, None, :, :, :].astype(jnp.float32)
+        ).sum(-1)  # [B, M, N, H]
+        att = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(dh)), axis=2)
+        out = (att[..., None].astype(x.dtype) * v[:, None, :, :, :]).sum(2)
+        out = out.reshape(b, m, nh * dh)  # [B, M, H*E]
         res = jnp.einsum("bmd,de->bme", x, layer["wres"].astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
         return jax.nn.relu(out + res)
