@@ -67,8 +67,8 @@ class TrainConfig:
     # "streaming" (200-threshold confusion-matrix AUC, tf.metrics.auc parity,
     # within ~0.005 of exact) or "exact" (rank-based on the gathered eval
     # probabilities — use for ±0.002 parity-gate decisions; the streaming
-    # value is still reported as auc_streaming). Single-process only; a
-    # multi-host plan keeps streaming and logs a warning.
+    # value is still reported as auc_streaming). Works sharded and
+    # multi-process too (the gather is collective, like checkpoint saves).
     eval_auc: str = "streaming"
     # Where each train batch is assembled:
     #   "host":   select rows on the host, ship [B, ...] arrays per step;
@@ -353,24 +353,28 @@ class Trainer:
         result = metrics_lib.finalize(jax.device_get(mstate))
         result = {k: float(v) for k, v in result.items()}
         if self.config.eval_auc == "exact":
-            if self.plan is not None:
-                logger.warning(
-                    "eval_auc=exact needs host-gathered probabilities; "
-                    "multi-host plan active -> keeping streaming AUC"
-                )
-            else:
-                probs = np.asarray(
-                    jax.device_get(self._eval_probs_scan(params, self._eval_cache))
-                ).ravel()
-                labels = np.asarray(jax.device_get(self._eval_cache["labels"])).ravel()
-                w = self._eval_cache.get("weights")
-                valid = (
-                    np.asarray(jax.device_get(w)).ravel() > 0
-                    if w is not None
-                    else slice(None)
-                )
-                result["auc_streaming"] = result["auc"]
-                result["auc"] = metrics_lib.exact_auc(probs[valid], labels[valid])
+            # works sharded too (round 4): the probabilities/labels gather
+            # through the same collective host-copy path checkpoints use
+            # (_gather_for_save allgathers non-addressable shards; the AUC
+            # rank statistic is invariant to the row order of the union, so
+            # per-process stride sharding of the eval set doesn't matter)
+            tree = {
+                "probs": self._eval_probs_scan(params, self._eval_cache),
+                "labels": self._eval_cache["labels"],
+            }
+            w = self._eval_cache.get("weights")
+            if w is not None:
+                tree["weights"] = w
+            host = self._gather_for_save(tree)
+            probs = np.asarray(host["probs"]).ravel()
+            labels = np.asarray(host["labels"]).ravel()
+            valid = (
+                np.asarray(host["weights"]).ravel() > 0
+                if w is not None
+                else slice(None)
+            )
+            result["auc_streaming"] = result["auc"]
+            result["auc"] = metrics_lib.exact_auc(probs[valid], labels[valid])
         return result
 
     def _log_histograms(self, params, step: int, max_elems: int = 65536) -> None:

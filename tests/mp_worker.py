@@ -45,6 +45,7 @@ def parse_args(argv=None):
     p.add_argument("--restore", action="store_true")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--data-placement", default="host")
+    p.add_argument("--eval-auc", default="streaming")
     return p.parse_args(argv)
 
 
@@ -99,7 +100,8 @@ def main():
                      steps_per_loop=args.steps_per_loop,
                      save_checkpoints_steps=args.save_steps,
                      async_checkpoint=False,
-                     data_placement=args.data_placement)
+                     data_placement=args.data_placement,
+                     eval_auc=args.eval_auc)
     fast_step = None
     if args.fast:
         from rectpu.train.fast_step import make_sparse_step

@@ -160,11 +160,12 @@ def test_two_process_device_resident_data(mp_data, tmp_path):
     """Device-resident training data under multi-process EP (round-4 VERDICT
     item 1): the dataset is replicated from identical host copies, each
     process ships only its local [B/nproc] index rows, and the run equals the
-    host-staged multi-process run bit-for-bit."""
+    host-staged multi-process run bit-for-bit. eval_auc=exact rides along:
+    the probability gather is collective across the EP processes."""
     host = _run(2, mp_data, tmp_path, model_shards=2, ep_mode="dedup",
-                data_placement="host")
+                data_placement="host", eval_auc="exact")
     dev = _run(2, mp_data, tmp_path, model_shards=2, ep_mode="dedup",
-               data_placement="device")
+               data_placement="device", eval_auc="exact")
     for key in ("auc", "average_loss", "accuracy"):
         assert np.isclose(host["metrics"][key], dev["metrics"][key],
                           rtol=1e-6, atol=1e-7), (key, host, dev)

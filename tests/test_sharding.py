@@ -138,8 +138,11 @@ def test_trainer_with_plan_matches_unsharded(synthetic_dir, tmp_path, dropout_im
                       dropout_impl=dropout_impl or "threefry")
     train_ds = CsvDataset(synthetic_dir["train"], fs)
     eval_ds = CsvDataset(synthetic_dir["test"], fs)
+    # eval_auc=exact under the plan: the probability gather is collective
+    # (round 4) — the equality below then pins the EXACT AUC, not just the
+    # streaming approximation
     tc = TrainConfig(batch_size=64, train_steps=400, steps_per_loop=50,
-                     save_checkpoints_steps=10**6)
+                     save_checkpoints_steps=10**6, eval_auc="exact")
 
     def run(plan, tag):
         model = DeepFMModel(cfg)
