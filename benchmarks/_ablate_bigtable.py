@@ -156,7 +156,8 @@ _RUNNERS = {
     "sparse-ep": run_sparse_ep,
     "sparse-ep-dedup": lambda: run_sparse_ep(ep_mode="dedup"),
 }
-for a in sys.argv[1:] or ["dense", "sparse"]:
-    if a == "scaled":
-        use_scaled(); continue
-    _RUNNERS[a]()
+if __name__ == "__main__":
+    for a in sys.argv[1:] or ["dense", "sparse"]:
+        if a == "scaled":
+            use_scaled(); continue
+        _RUNNERS[a]()
