@@ -23,6 +23,7 @@ Run: python -m benchmarks._profile_sparse   (on the TPU)
 
 import sys
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -43,11 +44,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_carried(make_step, state, iters=(20, 60), repeats=3):
+def time_carried(step, state, iters=(20, 60), repeats=3):
     """Chained timing for ops that mutate big carried state (scatters):
     the state feeds back through donated args so .at[].set updates in
     place, exactly as the real step does."""
-    step = make_step()
     x = step(state)
     fetch_sync(x)
     return chained_slope_s(step, x, iters, repeats=repeats)
@@ -99,38 +99,61 @@ def main():
     res["adam_gather"] = time_op(adam_gather,
                                  {"mv": mv, "t": table, "r": rows, "g": grads})
 
-    # --- scatter components (carried, donated state) ---
-    def mk_scatter():
-        @jax.jit
+    def report(name, t, denom):
+        log(f"{name:16s} {1e3 * t:8.3f} ms   ({t / denom * 1e9:6.1f} ns per row x {denom:,})")
+
+    for k2, t in res.items():
+        report(k2, t, r)
+
+    # --- scatter components (carried, DONATED state — without donation the
+    # .at[].set copies the multi-GB operand and the 16 GB chip OOMs) ---
+    def mk_scatter(rr, vals):
+        @partial(jax.jit, donate_argnums=(0,))
         def step(st):
             t, m2, s = st
-            val = (d_vals + (s * 1e-30)).astype(t.dtype)
-            t = t.at[rows].set(val, mode="drop", indices_are_sorted=True)
-            m2 = m2.at[rows].set(
+            val = (vals + (s * 1e-30)).astype(t.dtype)
+            t = t.at[rr].set(val, mode="drop", indices_are_sorted=True)
+            m2 = m2.at[rr].set(
                 jnp.concatenate([val, val], axis=1), mode="drop",
                 indices_are_sorted=True)
             return t, m2, s + t[0, 0] * 1e-12
-        return lambda st: step(st)
+        return lambda st: step((st[0], st[1], st[2]))
 
-    d_vals = jax.device_put(jnp.asarray(rng.standard_normal((r, W)).astype(np.float32)))
-    res["adam_scatter"] = time_carried(mk_scatter, (table, mv, jnp.float32(0.0)))
-
-    def mk_adam_full():
-        @jax.jit
+    def mk_adam_full(rr, g0):
+        @partial(jax.jit, donate_argnums=(0,))
         def step(st):
             t, m2, s = st
-            g = grads + (s * 1e-30)
-            t, m2 = sparse_adam_rows_packed(t, m2, rows, g, jnp.float32(1e-3))
+            g = g0 + (s * 1e-30)
+            t, m2 = sparse_adam_rows_packed(t, m2, rr, g, jnp.float32(1e-3))
             return t, m2, s + t[0, 0] * 1e-12
-        return lambda st: step(st)
+        return lambda st: step((st[0], st[1], st[2]))
 
-    table2 = jax.device_put(jnp.zeros((v, W), jnp.float32))
-    mv2 = jax.device_put(jnp.zeros((v, 2 * W), jnp.float32))
-    res["adam_full"] = time_carried(mk_adam_full, (table2, mv2, jnp.float32(0.0)))
+    d_vals = jax.device_put(jnp.asarray(rng.standard_normal((r, W)).astype(np.float32)))
+    res["adam_scatter"] = time_carried(
+        mk_scatter(rows, d_vals), (table, mv, jnp.float32(0.0)))
+    report("adam_scatter", res["adam_scatter"], r)
 
-    for k2, t in res.items():
-        per_row = t / r * 1e9
-        log(f"{k2:14s} {1e3 * t:8.3f} ms   ({per_row:6.1f} ns per lookup-row)")
+    table = jax.device_put(jnp.zeros((v, W), jnp.float32))
+    mv = jax.device_put(jnp.zeros((v, 2 * W), jnp.float32))
+    res["adam_full"] = time_carried(
+        mk_adam_full(rows, grads), (table, mv, jnp.float32(0.0)))
+    report("adam_full", res["adam_full"], r)
+
+    # --- the capacity insight: uniques are bounded by sum_f min(size_f, B),
+    # ~24.7k here, but dedupe_rows hands the update the full [R]=213k
+    # sentinel-padded vector — 8.7x more scatter/gather rows than real ones.
+    # Time the identical update on a [C]-sliced rows/grads to bound the win.
+    cap = 1
+    while cap < sum(min(int(s_), B) for s_ in sizes):
+        cap *= 2
+    cap = min(cap, r)
+    log(f"capacity bound sum_f min(size_f, B) = "
+        f"{sum(min(int(s_), B) for s_ in sizes):,} -> padded C = {cap:,}")
+    table = jax.device_put(jnp.zeros((v, W), jnp.float32))
+    mv = jax.device_put(jnp.zeros((v, 2 * W), jnp.float32))
+    res["adam_full_cap"] = time_carried(
+        mk_adam_full(rows[:cap], grads[:cap]), (table, mv, jnp.float32(0.0)))
+    report("adam_full_cap", res["adam_full_cap"], cap)
 
     # --- the full step, same loop as _ablate_bigtable.run_sparse(packed) ---
     from rectpu.models import DeepFMModel, TowerConfig
@@ -158,9 +181,10 @@ def main():
         p, o, loss = fj(p, o, staged[i % 4], jax.random.fold_in(key, i), si(i))
     _ = float(loss)
     full = (time.time() - t0) / steps
-    log(f"{'full_step':14s} {1e3 * full:8.3f} ms   (fixed-cost inclusive)")
-    acc = sum(res.values())
-    log(f"component sum {1e3 * acc:8.3f} ms   residual {1e3 * (full - acc):8.3f} ms")
+    log(f"{'full_step':16s} {1e3 * full:8.3f} ms   (fixed-cost inclusive)")
+    acc = res["fwd_gather"] + res["dedupe"] + res["adam_full"]
+    log(f"table-side sum (fwd_gather+dedupe+adam_full) {1e3 * acc:8.3f} ms   "
+        f"rest-of-step {1e3 * (full - acc):8.3f} ms")
 
 
 if __name__ == "__main__":

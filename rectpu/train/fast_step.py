@@ -45,7 +45,8 @@ import jax.numpy as jnp
 
 from rectpu.ops.embedding import embedding_lookup
 from rectpu.train import metrics as metrics_lib
-from rectpu.train.sparse import adam_lr_t, dedupe_rows, sparse_adam_rows_packed
+from rectpu.train.sparse import (adam_lr_t, dedupe_rows,
+                                 sparse_adam_rows_packed, unique_capacity)
 
 
 def make_sparse_step(
@@ -208,6 +209,12 @@ def make_sparse_step(
             rows, row_grads = dedupe_rows(
                 ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32), v_rows
             )
+            # uniques occupy the first sum_f min(size_f, B) slots; slice off
+            # the sentinel tail so the latency-bound row passes below touch
+            # 25k rows, not R=213k (exact — see unique_capacity)
+            cap = unique_capacity(
+                field_info[1], ids.shape[0], rows.shape[0])
+            rows, row_grads = rows[:cap], row_grads[:cap]
             if packed or not use_linear:
                 tbl_new, mv_tbl = sparse_adam_rows_packed(
                     sparse[table_key], mv_sp[table_key],

@@ -24,6 +24,23 @@ import jax
 import jax.numpy as jnp
 
 
+def unique_capacity(field_sizes, batch: int, total: int, align: int = 512) -> int:
+    """Static upper bound on the number of distinct ids a [batch, F] id
+    matrix can contain: per field at most min(size_f, batch) values occur,
+    and fields occupy disjoint ranges of the unified id space, so the
+    distinct-id count is at most the sum. ``dedupe_rows`` packs the uniques
+    into the FIRST slots of its output (sorted segment ids), so slicing its
+    [R]-shaped result to this capacity is exact — it only drops sentinel
+    padding. At the big-table config this is 25k of R=213k rows (8.7x fewer
+    rows for the latency-bound lazy-Adam gathers/scatters to touch).
+
+    ``total`` is R (the unsliced length); the result is align-rounded and
+    clamped to it.
+    """
+    c = sum(min(int(s), batch) for s in field_sizes)
+    return min(int(total), -(-c // align) * align)
+
+
 def dedupe_rows(ids: jax.Array, grads: jax.Array, num_rows: int):
     """Sum gradients of duplicate ids.
 
