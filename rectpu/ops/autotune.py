@@ -117,7 +117,9 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
             # second stage: tiles-per-grid-step at the winning (tr, cap) —
             # fatter steps amortize the ~1.3 us/step grid overhead
             best_tps = 1
-            for tps in (4, 8):
+            # tps=16 added round 5: tps=8 won the round-4 HW session, so the
+            # sweep must extend past the previous winner
+            for tps in (4, 8, 16):
                 t = _time(
                     lambda u, tps=tps: scatter_rows_dense(
                         sc_ids, u, vocab_rows, tile_rows=best_tile[0],

@@ -60,6 +60,7 @@ def make_sparse_rows_ep(
     beta1: float = 0.9,
     beta2: float = 0.999,
     epsilon: float = 1e-8,
+    field_sizes=None,
 ):
     """Build ``update(table, mv, ids, dlooked, lr_t) -> (table, mv)``.
 
@@ -71,8 +72,18 @@ def make_sparse_rows_ep(
     over 'data' alone (1d EP: replicated over 'model'); ``dlooked``:
     [B, F, W] cotangents of the gathered rows, sharded like ``ids``;
     ``lr_t``: the bias-corrected scalar rate (train/sparse.adam_lr_t).
+
+    ``field_sizes``: the per-field vocab sizes. When given, the deduped row
+    lists are sliced to the exact ``unique_capacity`` bound (uniques pack
+    into the first slots) at both dedupe points, so the wire payloads and
+    the per-row gathers/scatters touch ~the unique count instead of the full
+    R = B_loc*F sentinel-padded vector — the same slice the non-EP fast step
+    applies. Requires in-range ids (see unique_capacity's precondition).
     """
+    from rectpu.train.sparse import unique_capacity
+
     n_model = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
     batch_axes = (DATA_AXIS, MODEL_AXIS) if batch_2d else DATA_AXIS
 
     def local_rows(table, mv, ids, dl, lr_t):
@@ -87,6 +98,11 @@ def make_sparse_rows_ep(
         # drop increments below the running sum's ulp/2)
         flat_g = dl.reshape(-1, w).astype(jnp.float32)
         rows, grads = dedupe_rows(flat_ids, flat_g, v_total)
+        if field_sizes is not None:
+            # exact slice: uniques occupy the first sum_f min(size_f, B_loc)
+            # slots (sentinels sort last); only padding is dropped
+            cap1 = unique_capacity(field_sizes, ids.shape[0], rows.shape[0])
+            rows, grads = rows[:cap1], grads[:cap1]
         n = rows.shape[0]
 
         if batch_2d and n_model > 1:
@@ -124,6 +140,11 @@ def make_sparse_rows_ep(
         rows = jax.lax.all_gather(rows, DATA_AXIS, axis=0, tiled=True)
         grads = jax.lax.all_gather(grads, DATA_AXIS, axis=0, tiled=True)
         rows, grads = dedupe_rows(rows, grads, v_total)
+        if field_sizes is not None:
+            # global bound: contributions come from the whole global batch
+            b_total = ids.shape[0] * n_data * (n_model if batch_2d else 1)
+            cap2 = unique_capacity(field_sizes, b_total, rows.shape[0])
+            rows, grads = rows[:cap2], grads[:cap2]
 
         mi = jax.lax.axis_index(MODEL_AXIS)
         local = rows - mi * v_shard

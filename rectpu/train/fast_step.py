@@ -104,6 +104,9 @@ def make_sparse_step(
             plan.mesh,
             batch_2d=plan.ep_mode in ("2d", "dedup"),
             beta1=beta1, beta2=beta2, epsilon=epsilon,
+            # exact unique_capacity slices inside the exchange (same contract
+            # as the local branch below: ids in their field ranges)
+            field_sizes=field_info[1],
         )
 
     def split_params(params):
@@ -211,7 +214,10 @@ def make_sparse_step(
             )
             # uniques occupy the first sum_f min(size_f, B) slots; slice off
             # the sentinel tail so the latency-bound row passes below touch
-            # 25k rows, not R=213k (exact — see unique_capacity)
+            # 25k rows, not R=213k. Exact ONLY for ids inside their field's
+            # [offset, offset+size) range — guaranteed by FeatureSet.encode,
+            # guarded by sparse.check_ids_in_field_ranges (see
+            # unique_capacity's PRECONDITION note).
             cap = unique_capacity(
                 field_info[1], ids.shape[0], rows.shape[0])
             rows, row_grads = rows[:cap], row_grads[:cap]

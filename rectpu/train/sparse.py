@@ -36,9 +36,39 @@ def unique_capacity(field_sizes, batch: int, total: int, align: int = 512) -> in
 
     ``total`` is R (the unsliced length); the result is align-rounded and
     clamped to it.
+
+    PRECONDITION: every id in column f of the [batch, F] matrix must lie in
+    its field's [offset_f, offset_f + size_f) range — the per-field
+    min(size_f, batch) counting argument is only valid then. The feature
+    pipeline guarantees this by construction (FeatureSet.encode clamps /
+    buckets / hashes into the field range; tests/test_fast_step.py pins it),
+    but an id from OUTSIDE the pipeline (corrupt input, hand-built batch)
+    can push the true unique count past this bound, and rows beyond the
+    slice — real rows carrying gradient — would then be silently dropped.
+    ``check_ids_in_field_ranges`` is the debug-mode guard for that contract.
     """
     c = sum(min(int(s), batch) for s in field_sizes)
     return min(int(total), -(-c // align) * align)
+
+
+def check_ids_in_field_ranges(ids, offsets, field_sizes):
+    """Debug guard for the ``unique_capacity`` precondition: raise if any id
+    in column f of the [batch, F] matrix falls outside [offset_f,
+    offset_f + size_f). Host-side (numpy) — call it on concrete batches in
+    tests or validation paths, not inside jit."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    for f, (off, size) in enumerate(zip(offsets, field_sizes)):
+        col = ids[..., f]
+        bad = (col < off) | (col >= off + size)
+        if bad.any():
+            i = np.argwhere(bad)[0]
+            raise ValueError(
+                f"field {f}: id {col[tuple(i)]} outside [{off}, {off + size}) "
+                f"at batch index {tuple(i)} — violates the unique_capacity "
+                "slice contract (rows past the bound would be silently dropped)"
+            )
 
 
 def dedupe_rows(ids: jax.Array, grads: jax.Array, num_rows: int):

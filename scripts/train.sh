@@ -7,7 +7,7 @@
 # (jax.distributed.initialize needs no explicit coordinator on TPU VMs).
 set -euo pipefail
 
-MODEL="${MODEL:-deep_fm}"                 # linear | deep | linear_deep | deep_fm | dlrm | dcn
+MODEL="${MODEL:-deep_fm}"                 # linear | deep | linear_deep | deep_fm | dlrm | dcn | xdeep_fm | autoint
 JOB_DIR="${JOB_DIR:-checkpoints/${MODEL}}"
 TRAIN_CSV="${TRAIN_CSV:-data/ml-100k/train.csv}"
 TEST_CSV="${TEST_CSV:-data/ml-100k/test.csv}"

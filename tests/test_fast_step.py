@@ -190,3 +190,32 @@ def test_sparse_step_requires_apply_looked():
 
     with pytest.raises(ValueError, match="apply_looked"):
         make_sparse_step(LinearModel(TowerConfig(feature_set=ml_100k_feature_set())))
+
+
+def test_ids_in_field_ranges_guard():
+    """The unique_capacity slice contract (ADVICE r4): the pipeline's encoded
+    ids always lie in their field ranges, and the debug guard catches a
+    violation loudly instead of letting rows be silently dropped."""
+    import numpy as np
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.train.sparse import check_ids_in_field_ranges
+
+    fs = ml_100k_feature_set()
+    rng = np.random.default_rng(0)
+    ids = np.stack(
+        [fs.offsets[f] + rng.integers(0, fs.field_sizes[f], size=64)
+         for f in range(fs.num_fields)],
+        axis=1,
+    ).astype(np.int32)
+    check_ids_in_field_ranges(ids, fs.offsets, fs.field_sizes)  # in-range: ok
+
+    bad = ids.copy()
+    bad[3, 1] = fs.offsets[1] + fs.field_sizes[1]  # first id of the NEXT field
+    with pytest.raises(ValueError, match="field 1"):
+        check_ids_in_field_ranges(bad, fs.offsets, fs.field_sizes)
+
+    neg = ids.copy()
+    neg[0, 0] = -1
+    with pytest.raises(ValueError, match="field 0"):
+        check_ids_in_field_ranges(neg, fs.offsets, fs.field_sizes)
