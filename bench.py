@@ -149,41 +149,104 @@ def bench_tpu(batch: int, steps: int, embedding_size=64, hidden=(256, 128)) -> d
     params, opt_state, loss = fj(params, opt_state, jnp.asarray(0, jnp.int32), staged[0])
     log(f"tpu: compile+warmup {time.time()-t0:.1f}s; loss[0]={float(loss):.4f}")
 
-    # two-point slope timing: run n1 then n2 steps (params/opt_state chain
-    # through every step), each synced by fetching the loss; the per-step
-    # time is the slope, which cancels the fetch/dispatch fixed cost.
-    # MIN over three short window-pairs instead of one long pair: the shared
-    # chip's load arrives in multi-second bursts, and a single multi-minute
-    # window almost always catches one (observed 2026-08-20: 1.54 ms on a
-    # 15/60 pair, 3.63 ms on a 75/300 pair minutes apart) — ambient load
-    # only ever ADDS time, so the min pair is the least-contaminated sample.
+    # Timing methodology v3 (round 5) — SELF-CERTIFYING step time.
+    #
+    # Two estimators with opposite failure modes bracket the truth:
+    #  * SLOPE (lower-bound side): run n1 then n2 chained steps, each synced
+    #    by fetching the loss; slope = (t2-t1)/(n2-n1) cancels the
+    #    fetch/dispatch fixed cost. Ambient load usually ADDS time, so the
+    #    min over 3 window-pairs is the least-contaminated sample — but a
+    #    load burst in the FIRST window SHRINKS the slope, so the min slope
+    #    can UNDERSHOOT (two round-4 sub-HBM-floor readings were disproven
+    #    this way; CLAUDE.md round-4 addendum).
+    #  * INCLUSIVE (upper-bound side): one window of n_inc steps timed
+    #    end-to-end including the fixed cost — it can only OVER-read (the
+    #    per-window fetch cost is amortized to <0.1 ms/step at n_inc=300;
+    #    min over 2 windows trims a single burst while staying an upper
+    #    bound, since each window individually over-reads).
+    #
+    # CERTIFICATION (two-sided): slope and inclusive within agree_tol of
+    # each other means neither a slope undershoot (slope << inclusive) nor
+    # slope-window load (slope >> inclusive) contaminated the attempt —
+    # quote min(slope, inclusive) of the best certified attempt (the
+    # overclaim risk is bounded by agree_tol; the inclusive side is a hard
+    # upper bound). On disagreement, back off and retry (bounded):
+    # sustained ambient tunnel load is bursty on this shared chip
+    # (BENCH_r04 regression: driver read 2.23-2.47 ms under load while the
+    # quiet-session band was 1.41-1.50 ms). If no attempt certifies, quote
+    # the min INCLUSIVE reading across attempts (a trustworthy upper bound
+    # on step time -> conservative throughput, valid even under load) and
+    # set load_flag so the record self-documents the contamination.
     n1 = max(steps // 8, 10)
     n2 = max(steps // 2, 40)
+    # big inclusive window so the once-per-window fetch/pipeline-fill cost
+    # (~40-80 ms through the tunnel) amortizes below ~5% of the step time
+    n_inc = max(steps * 3, 600)
+    agree_tol = 1.15
+    max_attempts = 4
+    backoffs = (20.0, 45.0, 75.0)
     step_no = 1
-    best_dt = float("inf")
-    for _rep in range(3):
-        times = []
-        for n in (n1, n2):
-            t0 = time.time()
-            for _ in range(n):
-                params, opt_state, loss = fj(
-                    params, opt_state, jnp.asarray(step_no, jnp.int32),
-                    staged[step_no % n_stage],
-                )
-                step_no += 1
-            _ = float(loss)
-            times.append(time.time() - t0)
-        slope = (times[1] - times[0]) / (n2 - n1)
-        if slope > 0:
-            best_dt = min(best_dt, slope)
-        log(f"tpu: slope of {n1}/{n2} steps x batch {batch} (rep {_rep}): "
-            f"{1e3*slope:.3f} ms/step")
-    dt = best_dt if best_dt != float("inf") else times[1] / n2
+
+    def run_window(n):
+        nonlocal params, opt_state, step_no
+        t0 = time.time()
+        for _ in range(n):
+            params, opt_state, loss = fj(
+                params, opt_state, jnp.asarray(step_no, jnp.int32),
+                staged[step_no % n_stage],
+            )
+            step_no += 1
+        _ = float(loss)  # real-bytes sync (block_until_ready lies through the tunnel)
+        return time.time() - t0
+
+    attempts = []
+    for attempt in range(max_attempts):
+        best_slope = float("inf")
+        fallback = None
+        for _rep in range(3):
+            t1, t2 = run_window(n1), run_window(n2)
+            slope = (t2 - t1) / (n2 - n1)
+            fallback = t2 / n2
+            if slope > 0:
+                best_slope = min(best_slope, slope)
+            log(f"tpu: slope of {n1}/{n2} steps x batch {batch} "
+                f"(attempt {attempt} rep {_rep}): {1e3*slope:.3f} ms/step")
+        if best_slope == float("inf"):
+            best_slope = fallback
+        inclusive = min(run_window(n_inc) / n_inc for _ in range(2))
+        ratio = inclusive / best_slope
+        agree = max(ratio, 1.0 / ratio) <= agree_tol
+        log(f"tpu: attempt {attempt}: slope {1e3*best_slope:.3f} ms vs "
+            f"inclusive {1e3*inclusive:.3f} ms ({n_inc}-step upper bound), "
+            f"ratio {ratio:.3f} -> {'agree' if agree else 'DISAGREE'}")
+        attempts.append({"slope": best_slope, "inclusive": inclusive,
+                         "agree": agree})
+        if agree:
+            break
+        if attempt < max_attempts - 1:
+            wait = backoffs[min(attempt, len(backoffs) - 1)]
+            log(f"tpu: slope/inclusive disagree >{agree_tol:.2f}x — ambient "
+                f"load suspected; backing off {wait:.0f}s and retrying")
+            time.sleep(wait)
+
+    certified = [a for a in attempts if a["agree"]]
+    if certified:
+        pick = min(certified, key=lambda a: min(a["slope"], a["inclusive"]))
+        dt, load_flag = min(pick["slope"], pick["inclusive"]), False
+    else:
+        pick = min(attempts, key=lambda a: a["inclusive"])
+        dt, load_flag = pick["inclusive"], True
+    # throughput band, ascending: lo from the slower reading, hi from the faster
+    band = sorted([batch / pick["inclusive"], batch / pick["slope"]])
     eps = batch / dt
-    log(f"tpu: best of 3 window-pairs: {1e3*dt:.3f} ms/step "
-        f"-> {eps:,.0f} examples/s")
+    tag = "CERTIFIED" if not load_flag else "CONTAMINATED (quoting inclusive upper bound)"
+    log(f"tpu: {tag}: {1e3*dt:.3f} ms/step -> {eps:,.0f} "
+        f"examples/s (band [{band[0]:,.0f}, {band[1]:,.0f}])")
     return {"examples_per_sec": eps, "steps": step_no - 1, "batch": batch,
-            "seconds": dt * n2}
+            "seconds": dt * n2, "band": band, "load_flag": load_flag,
+            "slope_ms": 1e3 * pick["slope"],
+            "inclusive_ms": 1e3 * pick["inclusive"],
+            "attempts": len(attempts)}
 
 
 def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:
@@ -225,16 +288,29 @@ def bench_cpu_reference_proxy(seconds: float = 4.0) -> float:
         step(i)
     # best-of-3 windows: the shared host's load varies ~2x between runs and
     # a depressed baseline would inflate vs_baseline; max is the fairest
-    # estimate of what the reference machine can actually do
-    best = 0.0
-    for _ in range(3):
-        n = 0
-        t0 = time.time()
-        while time.time() - t0 < seconds / 2:
-            step(n)
-            n += 1
-        best = max(best, n * batch / (time.time() - t0))
-    log(f"cpu proxy (torch, batch {batch}): best of 3 -> {best:,.0f} examples/s")
+    # estimate of what the reference machine can actually do. If the windows
+    # spread >2x (a load burst starved torch mid-run — observed 23.5k vs
+    # 569 ex/s under a concurrent 8-core job), sleep and re-run once: a
+    # too-LOW baseline is the dishonest-in-our-favor direction.
+    def windows(k):
+        out = []
+        for _ in range(k):
+            n = 0
+            t0 = time.time()
+            while time.time() - t0 < seconds / 2:
+                step(n)
+                n += 1
+            out.append(n * batch / (time.time() - t0))
+        return out
+
+    w = windows(3)
+    if max(w) / max(min(w), 1.0) > 2.0:
+        log(f"cpu proxy: windows spread >2x ({[f'{x:,.0f}' for x in w]}) — "
+            "host load burst suspected; retrying after 10s")
+        time.sleep(10.0)
+        w += windows(3)
+    best = max(w)
+    log(f"cpu proxy (torch, batch {batch}): best of {len(w)} -> {best:,.0f} examples/s")
     return best
 
 
@@ -455,6 +531,15 @@ def main():
         "value": round(tpu["examples_per_sec"], 1),
         "unit": "examples/s",
         "vs_baseline": round(tpu["examples_per_sec"] / cpu_eps, 2),
+        # measurement self-certification (methodology v3): band = ascending
+        # throughput bracket from the picked attempt's two estimators;
+        # load_flag means slope and inclusive never agreed within 15% and
+        # the conservative inclusive bound is being quoted as `value`
+        "band": [round(tpu["band"][0], 1), round(tpu["band"][1], 1)],
+        "load_flag": tpu["load_flag"],
+        "step_ms": {"slope": round(tpu["slope_ms"], 3),
+                    "inclusive": round(tpu["inclusive_ms"], 3),
+                    "attempts": tpu["attempts"]},
         "baseline": {
             "name": "cpu_reference_proxy_torch_batch32",
             "examples_per_sec": round(cpu_eps, 1),
