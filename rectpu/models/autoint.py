@@ -40,23 +40,57 @@ from rectpu.models.base import (
 )
 
 
+def _grouped_field_attention(q, k, v, g: int):
+    """Block-diagonal grouped attention: [B, M, H, E] -> [B, M, H, E].
+
+    Per-example field attention lowers to B*H tiny [M, E]-class batched
+    matmuls — the DLRM-interaction latency-bound shape class. Packing ``g``
+    examples' fields into one [g*M, g*M] attention with a block-diagonal
+    mask turns both products into MXU-shaped batched matmuls (g*M ~ 208
+    rows at g=8) at a g-fold FLOP waste the MXU absorbs: masked off-block
+    logits softmax to exactly 0, so the P@V product is EXACT (the padding
+    rows contribute nothing). fp32 softmax; bf16 matmuls with fp32
+    accumulation.
+    """
+    b, m, nh, dh = q.shape
+    gm = g * m
+    qg = q.reshape(b // g, gm, nh, dh)
+    kg = k.reshape(b // g, gm, nh, dh)
+    vg = v.reshape(b // g, gm, nh, dh)
+    logits = jnp.einsum("bihd,bjhd->bhij", qg, kg,
+                        preferred_element_type=jnp.float32)
+    blk = jnp.arange(gm) // m
+    mask = blk[:, None] == blk[None, :]  # [gm, gm] block-diagonal
+    logits = jnp.where(mask, logits / jnp.sqrt(jnp.float32(dh)), -jnp.inf)
+    att = jax.nn.softmax(logits, axis=3).astype(q.dtype)
+    out = jnp.einsum("bhij,bjhd->bihd", att, vg,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(b, m, nh, dh)
+
+
 class AutoIntModel:
     name = "autoint"
-    EXPORT_KWARGS = ("use_linear", "num_layers", "num_heads", "head_dim")
+    EXPORT_KWARGS = ("use_linear", "num_layers", "num_heads", "head_dim",
+                     "att_impl", "att_group")
 
     def __init__(self, cfg: TowerConfig, use_linear: bool = True,
                  num_layers: int = 2, num_heads: int = 2,
-                 head_dim: int | None = None):
+                 head_dim: int | None = None, att_impl: str = "broadcast",
+                 att_group: int = 8):
         if cfg.num_fields + cfg.num_numeric == 0:
             raise ValueError("AutoInt needs at least one feature column")
         if num_layers < 1 or num_heads < 1:
             raise ValueError("num_layers and num_heads must be >= 1")
+        if att_impl not in ("broadcast", "grouped"):
+            raise ValueError(f"att_impl must be broadcast|grouped, got {att_impl}")
         self.cfg = cfg
         self.use_linear = use_linear
         self.num_layers = int(num_layers)
         self.num_heads = int(num_heads)
         self.head_dim = (int(head_dim) if head_dim is not None
                          else max(cfg.embedding_size // num_heads, 1))
+        self.att_impl = att_impl
+        self.att_group = int(att_group)
 
     @property
     def packed(self) -> bool:
@@ -131,15 +165,19 @@ class AutoIntModel:
             return out.astype(x.dtype).reshape(b, m, nh, dh)
 
         q, k, v = proj(layer["wq"]), proj(layer["wk"]), proj(layer["wv"])
-        # field-to-field attention; fp32 softmax. [B, M, N, H] logits via a
-        # reduction-fused broadcast product (no batched matmul).
-        logits = (
-            q[:, :, None].astype(jnp.float32)
-            * k[:, None, :, :, :].astype(jnp.float32)
-        ).sum(-1)  # [B, M, N, H]
-        att = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(dh)), axis=2)
-        out = (att[..., None].astype(x.dtype) * v[:, None, :, :, :]).sum(2)
-        out = out.reshape(b, m, nh * dh)  # [B, M, H*E]
+        if self.att_impl == "grouped" and b % self.att_group == 0:
+            out = _grouped_field_attention(q, k, v, self.att_group)
+            out = out.reshape(b, m, nh * dh)
+        else:
+            # field-to-field attention; fp32 softmax. [B, M, N, H] logits via
+            # a reduction-fused broadcast product (no batched matmul).
+            logits = (
+                q[:, :, None].astype(jnp.float32)
+                * k[:, None, :, :, :].astype(jnp.float32)
+            ).sum(-1)  # [B, M, N, H]
+            att = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(dh)), axis=2)
+            out = (att[..., None].astype(x.dtype) * v[:, None, :, :, :]).sum(2)
+            out = out.reshape(b, m, nh * dh)  # [B, M, H*E]
         res = jnp.einsum("bmd,de->bme", x, layer["wres"].astype(x.dtype),
                          preferred_element_type=jnp.float32).astype(x.dtype)
         return jax.nn.relu(out + res)
