@@ -140,21 +140,83 @@ def full_step(att_impl, att_group, staged, steps):
     return ms
 
 
+def components(steps):
+    """Split the full step: attention stack vs lookup vs towers, fwd and
+    fwd+bwd, isolated with chained timing — names where the ms live."""
+    fs = scaled_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=64, hidden_units=(256, 128),
+                      dropout=0.1, compute_dtype="bfloat16",
+                      table_grad_dtype="bfloat16", flat_layout=True,
+                      scatter_impl="mxu", table_padding=2048,
+                      dropout_impl="hash", packed_linear=True)
+    iters = (max(steps // 6, 8), max(steps // 2, 24))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, M, 64)).astype(np.float32)).astype(jnp.bfloat16)
+
+    for impl in ("broadcast", "bf16"):
+        model = AutoIntModel(cfg, att_impl=impl)
+        params = model.init(jax.random.PRNGKey(0))
+        att_params = params["att"]
+
+        def stack(x, p=att_params, model=model):
+            h = x
+            for layer in p:
+                h = model._interacting_layer(layer, h)
+            return h
+
+        f_fwd = jax.jit(lambda x: x + stack(x)[:, :, :64] * jnp.asarray(1e-3, x.dtype))
+        t_fwd = chained_slope_ms(f_fwd, x0, iters, repeats=3)
+
+        def loss(x):
+            return jnp.sum(stack(x).astype(jnp.float32) ** 2) * 1e-6
+
+        f_bwd = jax.jit(lambda x: x + jax.grad(loss)(x).astype(x.dtype))
+        t_bwd = chained_slope_ms(f_bwd, x0, iters, repeats=3)
+        log(f"component att-stack[{impl}] (2 layers incl. projections): "
+            f"fwd {t_fwd:.3f} ms, fwd+bwd {t_bwd:.3f} ms")
+
+    # lookup + linear path fwd+bwd (the table work the zoo shares)
+    model = AutoIntModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    sb = random_superbatch(fs, 1, B)
+    ids = jax.device_put(jnp.asarray(sb["cat_ids"][0]))
+    from rectpu.ops.embedding import lookup_flat
+
+    field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
+
+    def lk_loss(tbl):
+        e, lin = lookup_flat(tbl, ids, field_info, 64,
+                             gather_dtype=jnp.bfloat16,
+                             grad_dtype=jnp.bfloat16, scatter_impl="mxu")
+        return jnp.sum(e.astype(jnp.float32)) * 1e-6 + jnp.sum(lin) * 1e-6
+
+    f_lk = jax.jit(lambda t: t + jax.grad(lk_loss)(t) * 1e-3)
+    t_lk = chained_slope_ms(f_lk, params["table"], iters, repeats=3)
+    log(f"component lookup_flat fwd+bwd: {t_lk:.3f} ms")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--skip-kernels", action="store_true")
+    ap.add_argument("--skip-components", action="store_true")
+    ap.add_argument("--full", nargs="*", default=["broadcast", "bf16"],
+                    help="att impls to full-step race")
     args = ap.parse_args()
 
     if not args.skip_kernels:
         kernel_race(args.steps)
+    if not args.skip_components:
+        components(args.steps)
 
     fs = scaled_feature_set()
     sb = random_superbatch(fs, 8, 8192)
     staged = [{k: jax.device_put(v[i]) for k, v in sb.items()} for i in range(8)]
-    full_step("broadcast", 8, staged, args.steps)
-    for g in (8, 16, 32):
-        full_step("grouped", g, staged, args.steps)
+    for impl in args.full:
+        g = 8
+        if impl.startswith("grouped-"):
+            impl, g = "grouped", int(impl.split("-")[1])
+        full_step(impl, g, staged, args.steps)
 
 
 if __name__ == "__main__":

@@ -81,8 +81,9 @@ class AutoIntModel:
             raise ValueError("AutoInt needs at least one feature column")
         if num_layers < 1 or num_heads < 1:
             raise ValueError("num_layers and num_heads must be >= 1")
-        if att_impl not in ("broadcast", "grouped"):
-            raise ValueError(f"att_impl must be broadcast|grouped, got {att_impl}")
+        if att_impl not in ("broadcast", "bf16", "grouped"):
+            raise ValueError(
+                f"att_impl must be broadcast|bf16|grouped, got {att_impl}")
         self.cfg = cfg
         self.use_linear = use_linear
         self.num_layers = int(num_layers)
@@ -158,15 +159,29 @@ class AutoIntModel:
         projections stay MXU matmuls."""
         nh, dh = self.num_heads, self.head_dim
         b, m, _ = x.shape
+        d = nh * dh
 
-        def proj(w):
-            out = jnp.einsum("bmd,de->bme", x, w.astype(x.dtype),
-                             preferred_element_type=jnp.float32)
-            return out.astype(x.dtype).reshape(b, m, nh, dh)
-
-        q, k, v = proj(layer["wq"]), proj(layer["wk"]), proj(layer["wv"])
+        # ONE fused [Din, 3D] projection instead of three: each output
+        # column is the same dot product either way (bitwise-identical),
+        # and one [B*M, Din] matmul dispatches/tiles better than three
+        wqkv = jnp.concatenate(
+            [layer["wq"], layer["wk"], layer["wv"]], axis=1).astype(x.dtype)
+        qkv = jnp.einsum("bmd,de->bme", x, wqkv,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        q = qkv[..., :d].reshape(b, m, nh, dh)
+        k = qkv[..., d:2 * d].reshape(b, m, nh, dh)
+        v = qkv[..., 2 * d:].reshape(b, m, nh, dh)
         if self.att_impl == "grouped" and b % self.att_group == 0:
             out = _grouped_field_attention(q, k, v, self.att_group)
+            out = out.reshape(b, m, nh * dh)
+        elif self.att_impl == "bf16":
+            # same broadcast-reduce lowering, products in the compute dtype
+            # with fp32 ACCUMULATION (sum dtype): halves the VPU multiply
+            # cost; softmax stays fp32
+            logits = (q[:, :, None] * k[:, None, :, :, :]).sum(
+                -1, dtype=jnp.float32)  # [B, M, N, H]
+            att = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(dh)), axis=2)
+            out = (att[..., None].astype(x.dtype) * v[:, None, :, :, :]).sum(2)
             out = out.reshape(b, m, nh * dh)
         else:
             # field-to-field attention; fp32 softmax. [B, M, N, H] logits via

@@ -39,6 +39,8 @@ def train_and_evaluate(args):
         num_layers=args.num_att_layers,
         num_heads=args.num_heads,
         head_dim=args.head_dim,
+        att_impl=args.att_impl,
+        att_group=args.att_group,
     )
     optimizer = get_optimizer(args.optimizer, args.learning_rate)
     return run(args, model, optimizer)
@@ -55,6 +57,14 @@ def build_parser() -> ArgumentParser:
                         help="attention heads (default: %(default)s)")
     parser.add_argument("--head-dim", type=int, default=None,
                         help="per-head dim (default: embedding_size/heads)")
+    parser.add_argument("--att-impl", choices=["broadcast", "bf16", "grouped"],
+                        default="broadcast",
+                        help="attention lowering: VPU broadcast-reduce or "
+                             "block-diagonal grouped MXU matmuls "
+                             "(default: %(default)s)")
+    parser.add_argument("--att-group", type=int, default=8,
+                        help="examples packed per grouped-attention block "
+                             "(default: %(default)s)")
     parser.add_argument("--exclude-linear", action="store_true",
                         help="drop the linear component")
     parser.add_argument("--packed-linear", action="store_true",

@@ -138,3 +138,46 @@ def test_sharded_train_step_matches_single_device(rng):
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
         jax.device_get(p_ref), jax.device_get(p_out),
     )
+
+
+@pytest.mark.parametrize("g", [2, 4])
+def test_grouped_attention_matches_broadcast(rng, g):
+    """att_impl='grouped' (block-diagonal MXU packing) == the broadcast
+    lowering: off-block logits are masked to -inf and softmax to exactly 0,
+    so packing g examples into one [g*M, g*M] attention is EXACT math."""
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=8, table_padding=8)
+    m_b = AutoIntModel(cfg, num_layers=2, num_heads=2, att_impl="broadcast")
+    m_g = AutoIntModel(cfg, num_layers=2, num_heads=2, att_impl="grouped",
+                       att_group=g)
+    params = m_b.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in _batch(fs, 4 * g, rng).items()}
+
+    out_b = np.asarray(m_b.apply(params, batch))
+    out_g = np.asarray(m_g.apply(params, batch))
+    np.testing.assert_allclose(out_g, out_b, rtol=2e-4, atol=1e-5)
+
+    # gradients agree too (the training path)
+    def loss(model, p):
+        from rectpu.train.metrics import sigmoid_xent
+        return sigmoid_xent(model.apply(p, batch, train=False),
+                            batch["labels"]).mean()
+
+    g_b = jax.grad(lambda p: loss(m_b, p))(params)
+    g_g = jax.grad(lambda p: loss(m_g, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5),
+        g_b, g_g)
+
+
+def test_grouped_attention_falls_back_on_ragged_batch(rng):
+    """A batch not divisible by att_group silently uses the broadcast path
+    (e.g. the eval tail batch) — same math either way."""
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=8, table_padding=8)
+    m_g = AutoIntModel(cfg, num_layers=1, att_impl="grouped", att_group=8)
+    params = m_g.init(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in _batch(fs, 9, rng).items()}
+    out = np.asarray(m_g.apply(params, batch))
+    assert np.all(np.isfinite(out)) and out.shape == (9,)
