@@ -9,14 +9,17 @@ from rectpu.models import DeepFMModel, TowerConfig
 from rectpu.train.metrics import sigmoid_xent
 from rectpu.train.optimizers import BF16_SR, adam
 
+_SCALE = [1.0]  # "x2" CLI arg doubles the hashed vocabs (12M rows)
+
 def big_feature_set():
+    m = _SCALE[0]
     feats = [
-        HashFeature("user_id", 3_000_000, dtype="int32"),
-        HashFeature("item_id", 2_500_000, dtype="int32"),
+        HashFeature("user_id", int(3_000_000 * m), dtype="int32"),
+        HashFeature("item_id", int(2_500_000 * m), dtype="int32"),
         BucketizedFeature("age", tuple(range(15, 66, 10))),
         VocabFeature("gender", ("F", "M"), num_oov_buckets=1),
         HashFeature("occupation", 50),
-        HashFeature("zipcode", 500_000, dtype="int32"),
+        HashFeature("zipcode", int(500_000 * m), dtype="int32"),
         BucketizedFeature("release_year", tuple(range(1930, 1991, 10))),
     ]
     feats.extend(IdentityFeature(g, 2) for g in GENRE)
@@ -72,16 +75,20 @@ def run_dense(steps=100, batch=8192):
     dt = time.time() - t0
     print(f"dense 6M-row: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
-def run_sparse(steps=100, batch=8192, packed=False):
+def run_sparse(steps=100, batch=8192, packed=False, scatter_backend="xla"):
     from rectpu.train.fast_step import make_sparse_deepfm_step
     fs = big_feature_set()
     cfg = TowerConfig(
         feature_set=fs, embedding_size=64, hidden_units=(256, 128), dropout=0.1,
         compute_dtype="bfloat16", table_padding=2048, packed_linear=packed,
+        # round-5 scatter law: lane-aligned widths scatter per-row; the odd
+        # [V, 65] width pays a ~24 ms full-table pass per update
+        packed_col_pad=128 if packed else 0,
     )
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    init_opt, step_fn = make_sparse_deepfm_step(model, learning_rate=0.001)
+    init_opt, step_fn = make_sparse_deepfm_step(
+        model, learning_rate=0.001, scatter_backend=scatter_backend)
     opt_state = init_opt(params)
     fj = jax.jit(step_fn, donate_argnums=(0, 1))
     staged = batches(fs, 4, batch, seed=2)
@@ -97,8 +104,9 @@ def run_sparse(steps=100, batch=8192, packed=False):
         p, o, loss = fj(p, o, staged[i % 4], jax.random.fold_in(rng, i), si(i))
     _ = float(loss)
     dt = time.time() - t0
-    print(f"sparse{'-packed' if packed else ''} 6M-row: {1e3*dt/steps:.3f} ms/step  "
-          f"{steps*batch/dt:,.0f} ex/s")
+    print(f"sparse{'-packed' if packed else ''}"
+          f"{'-dma' if scatter_backend == 'dma' else ''} 6M-row: "
+          f"{1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
 def run_sparse_ep(steps=100, batch=8192, ep_mode="2d"):
     """The SHARDED sparse code path on one chip (round-3 VERDICT item 1's
@@ -153,6 +161,7 @@ _RUNNERS = {
     "dense": run_dense,
     "sparse": run_sparse,
     "sparse-packed": lambda: run_sparse(packed=True),
+    "sparse-dma": lambda: run_sparse(packed=True, scatter_backend="dma"),
     "sparse-ep": run_sparse_ep,
     "sparse-ep-dedup": lambda: run_sparse_ep(ep_mode="dedup"),
 }
@@ -160,4 +169,6 @@ if __name__ == "__main__":
     for a in sys.argv[1:] or ["dense", "sparse"]:
         if a == "scaled":
             use_scaled(); continue
+        if a == "x2":
+            _SCALE[0] = 2.0; continue
         _RUNNERS[a]()

@@ -69,6 +69,12 @@ def sweep(ring=16):
         (600_000, 128, 24_576, 24_576),
         (6_000_000, 128, 24_576, 24_576),
         (6_000_000, 256, 24_576, 24_576),
+        # the production widths: 65 (packed [V, K+1] table) and 130 (mv
+        # slab) — NOT lane multiples; round-4's per-table-byte XLA law was
+        # measured at these widths, while C=128 XLA scatters per-row (the
+        # round-5 finding). These two rows decide the fast-step layout.
+        (6_000_000, 65, 24_576, 24_576),
+        (6_000_000, 130, 24_576, 24_576),
         (6_000_000, 128, 6_000, 6_144),
         (6_000_000, 128, 98_000, 98_304),
         (12_000_000, 128, 24_576, 24_576),

@@ -202,6 +202,10 @@ class TowerConfig:
     # config). Changes the param tree ("table" replaces "emb"+"linear.w"), so
     # it is opt-in; only meaningful for single-optimizer models (DeepFM).
     packed_linear: bool = False
+    # lane-pad the packed [V, K+1] table's width to this multiple (0 = off).
+    # Big sparse-step tables want 128: XLA's row scatter is per-row at
+    # 128-multiple widths and a full-table pass otherwise (round-5 law).
+    packed_col_pad: int = 0
     # Materialize the dense table cotangent in this dtype ("bfloat16" halves
     # the scatter/pad/optimizer-read traffic of the table-grad path; see
     # ops/embedding.lookup_split grad_dtype for the precision contract).
@@ -287,13 +291,25 @@ def apply_linear_tower(tower, batch):
     return logit
 
 
-def pack_fused_table(emb, w):
-    """[V, K+1] = [embedding | linear weight]: the packed single-table layout
-    shared by training init (models/deep_fm.py, models/wide_deep.py) and
-    post-training transforms (serve/quant.py). Keep the layout in ONE place —
-    serving dequantizes against exactly this column order."""
+def pack_fused_table(emb, w, pad_cols: int = 0):
+    """[V, K+1(+pad)] = [embedding | linear weight | zero pad]: the packed
+    single-table layout shared by training init (models/deep_fm.py,
+    models/wide_deep.py) and post-training transforms (serve/quant.py). Keep
+    the layout in ONE place — serving dequantizes against exactly this
+    column order.
+
+    ``pad_cols``: round the width up to this multiple with zero columns
+    (cfg.packed_col_pad). Round-5 scatter model: XLA scatters per-row ONLY
+    at 128-multiple widths — an odd-width big table pays a full-table pass
+    per sparse update (RESULTS.md round 5). Consumers address columns by K
+    (emb = [..., :K], linear = [..., K]) so the pad is inert everywhere.
+    """
     emb = jnp.asarray(emb)
-    return jnp.concatenate([emb, jnp.asarray(w)[:, None].astype(emb.dtype)], axis=1)
+    t = jnp.concatenate([emb, jnp.asarray(w)[:, None].astype(emb.dtype)], axis=1)
+    if pad_cols:
+        wp = -(-t.shape[1] // pad_cols) * pad_cols
+        t = jnp.pad(t, ((0, 0), (0, wp - t.shape[1])))
+    return t
 
 
 def init_embedding_table(rng, cfg: TowerConfig):

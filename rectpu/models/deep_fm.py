@@ -81,7 +81,7 @@ class DeepFMModel:
             if self.packed:
                 emb = init_embedding_table(k_emb, cfg)
                 w = params["linear"].pop("w")  # folded into the table's last column
-                params["table"] = pack_fused_table(emb, w)
+                params["table"] = pack_fused_table(emb, w, cfg.packed_col_pad)
             else:
                 params["emb"] = init_embedding_table(k_emb, cfg)
             if cfg.num_numeric:

@@ -34,7 +34,7 @@ class WideDeepModel:
         if self.packed:
             emb = params.pop("emb")
             w = params["linear"].pop("w")
-            params["table"] = pack_fused_table(emb, w)
+            params["table"] = pack_fused_table(emb, w, self.cfg.packed_col_pad)
         return params
 
     def apply(self, params, batch, train: bool = False, rng=None, lookup_fn=None):

@@ -96,7 +96,7 @@ class XDeepFMModel:
             if self.packed:
                 emb = init_embedding_table(k_emb, cfg)
                 w = params["linear"].pop("w")  # folded into the table's last column
-                params["table"] = pack_fused_table(emb, w)
+                params["table"] = pack_fused_table(emb, w, cfg.packed_col_pad)
             else:
                 params["emb"] = init_embedding_table(k_emb, cfg)
             if cfg.num_numeric:

@@ -426,7 +426,7 @@ def _lookup_flat_raw(table, ids, field_info, k, small_threshold):
     offsets, sizes = field_info
     f_total = len(sizes)
     b = ids.shape[0]
-    has_lin = table.shape[1] == k + 1
+    has_lin = table.shape[1] >= k + 1  # >=: packed_col_pad appends zero cols
     small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
 
     mh = None
@@ -526,7 +526,7 @@ def _lookup_flat_bwd(field_info, k, small_threshold, gather_dtype, grad_dtype,
     offsets, sizes = field_info
     f_total = len(sizes)
     width = dtype_token.shape[1]
-    has_lin = width == k + 1
+    has_lin = width >= k + 1  # >=: packed_col_pad appends zero cols
     small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
 
     acc_dtype = grad_dtype if grad_dtype is not None else jnp.float32
@@ -601,7 +601,7 @@ def _lookup_flat_bwd_mxu(field_info, k, small_threshold, grad_dtype, dense_thres
     offsets, sizes = field_info
     f_total = len(sizes)
     width = dtype_token.shape[1]
-    has_lin = width == k + 1
+    has_lin = width >= k + 1  # >=: packed_col_pad appends zero cols
     small, big, sub_offs, total_small = _flat_partition(field_info, small_threshold)
     medium = [f for f in big if sizes[f] <= dense_threshold]
     huge = [f for f in big if sizes[f] > dense_threshold]

@@ -149,7 +149,8 @@ def _rmw_call(scal, vals, slab, *, w_count: int, ring: int, interpret: bool):
     return out
 
 
-def plan_windows(rows, n_rows_valid, w_cap: int, v_rows: int):
+def plan_windows(rows, n_rows_valid, w_cap: int, v_rows: int,
+                 n_pad_windows: int = 32):
     """XLA-side grouping (inside jit): sorted unique ``rows`` [N] (sentinels
     = v_rows sort last) -> the kernel's per-window scalar table.
 
@@ -174,10 +175,11 @@ def plan_windows(rows, n_rows_valid, w_cap: int, v_rows: int):
     slot_iota = jnp.arange(w_cap, dtype=jnp.int32)
     win_index = jnp.full((w_cap,), 0, jnp.int32).at[widx].set(
         win.astype(jnp.int32), mode="drop")
-    # sentinel windows spread across 32 distinct pad windows (racing DMA
+    # sentinel windows spread across distinct pad windows (racing DMA
     # writes land on disjoint rows)
     is_real = jnp.zeros((w_cap,), bool).at[widx].set(valid, mode="drop")
-    win_index = jnp.where(is_real, win_index, pad_win + (slot_iota % 32))
+    win_index = jnp.where(is_real, win_index,
+                          pad_win + (slot_iota % n_pad_windows))
 
     # first row ordinal of each window -> val base (8-aligned)
     first_row = jnp.full((w_cap,), 0, jnp.int32).at[widx].set(
@@ -201,17 +203,20 @@ def plan_windows(rows, n_rows_valid, w_cap: int, v_rows: int):
     return scal.reshape(-1)
 
 
-def scatter_rows_dma(slab, rows, vals, *, w_cap: int | None = None,
-                     ring: int = 16, interpret: bool | None = None):
+def scatter_rows_dma(slab, rows, vals, *, v_valid: int | None = None,
+                     w_cap: int | None = None, ring: int = 16,
+                     interpret: bool | None = None):
     """out = slab.at[rows].set(vals) for SORTED UNIQUE in-range ``rows``
-    (sentinel rows >= V dropped), via window-RMW DMAs — table-size-
+    (sentinel rows >= v_valid dropped), via window-RMW DMAs — table-size-
     independent cost.
 
-    slab: [Vp, C] fp32, C % 128 == 0, Vp % 8 == 0, with >= 256 PAD rows
-    past the real V (sentinel-window landing zone — callers using
-    ``table_padding`` already have this).
+    slab: [Vp, C] fp32 — the windows are FULL-WIDTH 8-row slices, so any C
+    works (the (8,128) HBM tiling only constrains partial-lane slices).
+    Vp % 8 == 0 and Vp - v_valid >= 8: sentinel windows land in the pad
+    rows past v_valid (callers using ``table_padding`` already have this).
     rows: [N] int32 ascending, duplicates not allowed among valid rows.
     vals: [N, C] fp32, same order.
+    v_valid: first droppable row id (default Vp - 256).
     w_cap: static window capacity (default N).
     """
     if interpret is None:
@@ -219,13 +224,35 @@ def scatter_rows_dma(slab, rows, vals, *, w_cap: int | None = None,
 
         interpret = not _on_tpu()
     n = rows.shape[0]
-    v_rows = slab.shape[0] - 256  # caller guarantees >= 256 pad rows
-    assert slab.shape[1] % 128 == 0 and slab.shape[0] % WROWS == 0
+    if v_valid is None:
+        v_valid = slab.shape[0] - 256
+    pad_rows = slab.shape[0] - v_valid
+    assert slab.shape[0] % WROWS == 0
+    assert pad_rows >= WROWS, (
+        f"need >= {WROWS} pad rows past v_valid={v_valid} for sentinel "
+        f"windows, slab has {pad_rows}")
     assert vals.shape == (n, slab.shape[1])
     if w_cap is None:
         w_cap = n
+    # the per-window scalar table rides scalar-prefetch SMEM (~1 MB = ~24k
+    # windows of 10 int32) — bigger updates chunk into SEQUENTIAL kernel
+    # calls. A window split across a chunk boundary is safe: the later
+    # chunk READS the window after the earlier chunk's write (each call
+    # consumes the previous call's slab), so both chunks' rows land.
+    max_w = 24_000
+    if w_cap > max_w:
+        out = slab
+        for s in range(0, n, max_w):
+            e = min(s + max_w, n)
+            out = scatter_rows_dma(
+                out, rows[s:e], vals[s:e], v_valid=v_valid,
+                w_cap=e - s, ring=ring, interpret=interpret)
+        return out
+    # sentinel windows spread over the pad region minus the last window
+    # (ceil(v_valid/8) may itself contain the tail of the valid rows)
+    n_pad_windows = max(1, min(32, (pad_rows - WROWS) // WROWS))
     # vals padded so any 16-row tile from an 8-aligned base is in bounds
     vals_p = jnp.pad(vals, ((0, VSPAN + WROWS), (0, 0)))
-    scal = plan_windows(rows, n, w_cap, v_rows)
+    scal = plan_windows(rows, n, w_cap, v_valid, n_pad_windows)
     return _rmw_call(scal, vals_p, slab, w_count=w_cap, ring=ring,
                      interpret=interpret)

@@ -57,6 +57,8 @@ def make_sparse_step(
     epsilon: float = 1e-8,
     plan=None,
     loss_reduction: str = "mean",
+    scatter_backend: str = "auto",
+    state_pad: bool | None = None,
 ):
     """Build (init_opt_state, step) for any model exposing ``apply_looked``
     (DeepFM, DNN, DLRM, DCN) with Adam.
@@ -95,6 +97,37 @@ def make_sparse_step(
     fs = cfg.feature_set
     field_info = (tuple(int(o) for o in fs.offsets), tuple(fs.field_sizes))
     table_key = "table" if packed else "emb"
+
+    # the first droppable row id: real ids live in [0, total_buckets); the
+    # rows between total_buckets and padded_buckets are the pad region the
+    # DMA scatter's sentinel windows land in
+    v_valid = int(fs.offsets[-1]) + int(fs.field_sizes[-1])
+    pad_rows = cfg.padded_buckets - v_valid
+    if scatter_backend not in ("auto", "xla", "dma"):
+        raise ValueError(f"scatter_backend must be auto|xla|dma, got "
+                         f"{scatter_backend!r}")
+    # ROUND-5 SCATTER MODEL (benchmarks/_ablate_scatter_dma, RESULTS.md):
+    # XLA's .at[].set is per-row fast (~70 ns/row, V-independent) at
+    # 128-MULTIPLE widths and a full-table pass (~8 ns x table-byte) at odd
+    # widths; the DMA window-RMW kernel (ops/scatter_dma) is ~110 ns/row,
+    # also 128-multiple-only (Mosaic wall #4: even full-width slices must
+    # be lane-aligned), and wins only for small update counts. The big-V
+    # fix is therefore LAYOUT: the m|v slab lane-pads to [V, 2*128] below,
+    # and 'auto' stays on the XLA scatter.
+    if scatter_backend == "auto":
+        scatter_backend = "xla"
+    elif scatter_backend == "dma":
+        if pad_rows < 8:
+            raise ValueError(
+                f"scatter_backend='dma' needs >= 8 pad rows past the id "
+                f"space (padded_buckets {cfg.padded_buckets} - ids "
+                f"{v_valid} = {pad_rows}); raise table_padding")
+    # lane-pad the packed m|v slab on big tables: +~31% optimizer-state
+    # memory buys the per-row scatter (47 -> 1.4 ms at [6M, 130] f32).
+    # EP keeps the tight layout (parallel/sparse_ep.py slices [: , :w]).
+    if state_pad is None:
+        state_pad = cfg.padded_buckets >= 1_000_000
+    state_pad = state_pad and not ep
 
     ep_update = None
     if ep:
@@ -138,9 +171,14 @@ def make_sparse_step(
 
         def mv0(leaf):
             # m and v PACKED as one [V, 2W] slab: halves the per-row state
-            # passes of the lazy update (see sparse_adam_rows_packed)
+            # passes of the lazy update (see sparse_adam_rows_packed).
+            # Big-table slabs LANE-PAD each half to a 128 multiple so the
+            # per-step scatter is per-row instead of a full-table pass
+            # (round-5 scatter model above); sparse_adam_rows_packed reads
+            # the layout from the slab width.
             w = leaf.shape[1] if leaf.ndim == 2 else 1
-            return jnp.zeros((leaf.shape[0], 2 * w), leaf.dtype)
+            wp = -(-w // 128) * 128 if (state_pad and leaf.ndim == 2) else w
+            return jnp.zeros((leaf.shape[0], 2 * wp), leaf.dtype)
 
         return {"m": {"rest": jax.tree.map(jnp.zeros_like, rest)},
                 "v": {"rest": jax.tree.map(jnp.zeros_like, rest)},
@@ -225,6 +263,7 @@ def make_sparse_step(
                 tbl_new, mv_tbl = sparse_adam_rows_packed(
                     sparse[table_key], mv_sp[table_key],
                     rows, row_grads, lr_t, beta1, beta2, epsilon,
+                    scatter_backend=scatter_backend, v_valid=v_valid,
                 )
                 new_sparse = {table_key: tbl_new}
                 mv_sp_new = {table_key: mv_tbl}

@@ -147,6 +147,8 @@ def sparse_adam_rows_packed(
     beta2: float = 0.999,
     epsilon: float = 1e-8,
     sorted_rows: bool = True,
+    scatter_backend: str = "xla",
+    v_valid: int | None = None,
 ):
     """``sparse_adam_rows`` with the m/v slots PACKED as one [V, 2W] slab.
 
@@ -158,20 +160,44 @@ def sparse_adam_rows_packed(
 
     ``params`` may be [V, W] or [V] (a fused linear weight) — mv is then
     [V, 2W] or [V, 2].
+
+    ``scatter_backend``: "xla" (`.at[].set` — a full-table pass, ~8 ns x
+    table-byte) or "dma" (ops/scatter_dma window-RMW kernel —
+    table-size-independent, ~110 ns/row; requires SORTED UNIQUE rows,
+    fp32 2D state, and >= 8 pad rows past ``v_valid``). Same SET
+    semantics, bitwise-equal results (tests/test_scatter_dma.py).
     """
     vec = params.ndim == 1
     p2 = params[:, None] if vec else params
     w = p2.shape[1]
     g = (row_grads[:, None] if vec else row_grads).astype(p2.dtype)
+    # the slab may be LANE-PADDED: [V, 2*wp] with m in cols [0, w) and v in
+    # [wp, wp+w) — the round-5 finding is that XLA's scatter is per-row
+    # fast ONLY at 128-multiple widths (an odd-width slab pays a full-table
+    # pass, ~8 ns x table-byte); wp == w is the legacy tight layout
+    wp = mv.shape[1] // 2
     mv_rows = mv[rows]
     m_rows = mv_rows[:, :w] * beta1 + g * (1 - beta1)
-    v_rows = mv_rows[:, w:] * beta2 + jnp.square(g) * (1 - beta2)
+    v_rows = mv_rows[:, wp:wp + w] * beta2 + jnp.square(g) * (1 - beta2)
     p_rows = p2[rows] - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
-    mv = mv.at[rows].set(
-        jnp.concatenate([m_rows, v_rows], axis=1), mode="drop",
-        indices_are_sorted=sorted_rows,
-    )
-    p2 = p2.at[rows].set(p_rows, mode="drop", indices_are_sorted=sorted_rows)
+    if wp == w:
+        mv_new = jnp.concatenate([m_rows, v_rows], axis=1)
+    else:
+        mv_new = (
+            jnp.zeros((m_rows.shape[0], 2 * wp), mv.dtype)
+            .at[:, :w].set(m_rows).at[:, wp:wp + w].set(v_rows)
+        )
+    if scatter_backend == "dma" and not vec and sorted_rows:
+        from rectpu.ops.scatter_dma import scatter_rows_dma
+
+        vv = v_valid if v_valid is not None else p2.shape[0] - 256
+        mv = scatter_rows_dma(mv, rows, mv_new, v_valid=vv)
+        p2 = scatter_rows_dma(p2, rows, p_rows, v_valid=vv)
+    else:
+        mv = mv.at[rows].set(mv_new, mode="drop",
+                             indices_are_sorted=sorted_rows)
+        p2 = p2.at[rows].set(p_rows, mode="drop",
+                             indices_are_sorted=sorted_rows)
     return (p2[:, 0] if vec else p2), mv
 
 

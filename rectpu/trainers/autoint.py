@@ -30,6 +30,7 @@ def train_and_evaluate(args):
         table_dtype=args.table_dtype,
         flat_layout=args.flat_layout,
         packed_linear=args.flat_layout or args.packed_linear,
+        packed_col_pad=args.packed_col_pad,
         scatter_impl=args.scatter_impl,
         table_padding=2048 if args.scatter_impl in ("mxu", "auto") else 128,
     )
@@ -69,6 +70,11 @@ def build_parser() -> ArgumentParser:
                         help="drop the linear component")
     parser.add_argument("--packed-linear", action="store_true",
                         help="store the fused [V, K+1] table as one parameter")
+    parser.add_argument("--packed-col-pad", type=int, default=0,
+                        help="lane-pad the packed table width to this "
+                             "multiple (128 recommended for big sparse-"
+                             "step tables: per-row XLA scatters need "
+                             "128-multiple widths; default: %(default)s)")
     parser.add_argument("--optimizer", default="Adam",
                         choices=["Adagrad", "Adam", "Ftrl", "RMSProp", "SGD"],
                         help="optimizer (default: %(default)s)")

@@ -212,6 +212,14 @@ def add_deep_args(parser: ArgumentParser) -> None:
                              "RESULTS.md round 3) and the run is Adam-"
                              "compatible; 'on' forces it (errors on "
                              "incompatibility). Adam only; fp32 table/slots")
+    parser.add_argument("--sparse-scatter", choices=["auto", "xla", "dma"],
+                        default="auto",
+                        help="state scatter backend for the sparse fast step: "
+                             "xla (.at[].set — a full-table pass at big V) or "
+                             "dma (ops/scatter_dma window-RMW kernel, "
+                             "table-size-independent; bitwise-equal). auto "
+                             "picks dma on TPU past ~1M rows "
+                             "(default: %(default)s)")
 
 
 # --preset scaled: knob -> (parser default, preset value). Only knobs still
@@ -313,6 +321,7 @@ def _resolve_fast_step(args, model, plan, optimizer):
         learning_rate=getattr(args, "learning_rate", 0.001),
         plan=plan,
         loss_reduction=getattr(args, "loss_reduction", "mean"),
+        scatter_backend=getattr(args, "sparse_scatter", "auto"),
     )
     logger.info("fast step on: sparse lazy-Adam table updates%s",
                 " over the EP exchange" if (plan is not None and plan.ep) else "")

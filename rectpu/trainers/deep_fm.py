@@ -35,6 +35,7 @@ def train_and_evaluate(args):
         table_grad_dtype=args.table_grad_dtype,
         table_dtype=args.table_dtype,
         packed_linear=args.packed_linear or args.flat_layout,
+        packed_col_pad=args.packed_col_pad,
         flat_layout=args.flat_layout,
         scatter_impl=args.scatter_impl,
         table_padding=2048 if args.scatter_impl in ("mxu", "auto") else 128,
@@ -94,6 +95,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--packed-linear", action="store_true",
                         help="store the fused [V, K+1] embedding+linear table as one "
                              "parameter (skips the per-step concat)")
+    parser.add_argument("--packed-col-pad", type=int, default=0,
+                        help="lane-pad the packed table width to this "
+                             "multiple (128 recommended for big sparse-"
+                             "step tables: per-row XLA scatters need "
+                             "128-multiple widths; default: %(default)s)")
     return parser
 
 

@@ -28,6 +28,7 @@ def train_and_evaluate(args):
         table_dtype=args.table_dtype,
         flat_layout=args.flat_layout,
         packed_linear=args.packed_linear,
+        packed_col_pad=args.packed_col_pad,
         scatter_impl=args.scatter_impl,
         table_padding=2048 if args.scatter_impl in ("mxu", "auto") else 128,
     )
@@ -42,6 +43,11 @@ def build_parser() -> ArgumentParser:
                         help="store the fused [V, K+1] embedding+wide table as ONE "
                              "parameter (skips the per-step concat; per-tower "
                              "FTRL/Adagrad updates apply column-wise)")
+    parser.add_argument("--packed-col-pad", type=int, default=0,
+                        help="lane-pad the packed table width to this "
+                             "multiple (128 recommended for big sparse-"
+                             "step tables: per-row XLA scatters need "
+                             "128-multiple widths; default: %(default)s)")
     return parser
 
 

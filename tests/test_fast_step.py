@@ -219,3 +219,146 @@ def test_ids_in_field_ranges_guard():
     neg[0, 0] = -1
     with pytest.raises(ValueError, match="field 0"):
         check_ids_in_field_ranges(neg, fs.offsets, fs.field_sizes)
+
+
+def test_fast_step_dma_scatter_backend_bitwise():
+    """scatter_backend='dma' (window-RMW kernel, interpret mode here) ==
+    'xla' bitwise on the packed table: same lazy-Adam rows, same untouched
+    rows."""
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.fast_step import make_sparse_step
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16,),
+                      packed_linear=True)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+    r = np.random.default_rng(11)
+    b = 64
+    offs, sizes = fs.offsets, fs.field_sizes
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [offs[f] + r.integers(0, sizes[f], size=b)
+             for f in range(fs.num_fields)], 1).astype(np.int32)),
+        "num_vals": jnp.zeros((b, 0), jnp.float32),
+        "labels": jnp.asarray((r.random(b) < 0.3).astype(np.float32)),
+    }
+
+    init_x, step_x = make_sparse_step(model, learning_rate=0.001,
+                                      scatter_backend="xla")
+    init_d, step_d = make_sparse_step(model, learning_rate=0.001,
+                                      scatter_backend="dma")
+    px, sx, _ = jax.jit(step_x)(params, init_x(params), batch, rng, 0)
+    pd, sd, _ = jax.jit(step_d)(params, init_d(params), batch, rng, 0)
+    # second step exercises nonzero m/v rows too
+    px, sx, _ = jax.jit(step_x)(px, sx, batch, rng, 1)
+    pd, sd, _ = jax.jit(step_d)(pd, sd, batch, rng, 1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        jax.device_get((px, sx)), jax.device_get((pd, sd)))
+
+
+def test_fast_step_lane_padded_mv_bitwise():
+    """state_pad=True (the big-table [V, 2*128] m|v layout) == the tight
+    [V, 2W] layout bitwise, including the DMA scatter backend on the
+    padded slab."""
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.fast_step import make_sparse_step
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16,),
+                      packed_linear=True)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+    r = np.random.default_rng(12)
+    b = 64
+    offs, sizes = fs.offsets, fs.field_sizes
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [offs[f] + r.integers(0, sizes[f], size=b)
+             for f in range(fs.num_fields)], 1).astype(np.int32)),
+        "num_vals": jnp.zeros((b, 0), jnp.float32),
+        "labels": jnp.asarray((r.random(b) < 0.3).astype(np.float32)),
+    }
+
+    outs = {}
+    for name, kw in [
+        ("tight", dict(state_pad=False)),
+        ("padded", dict(state_pad=True)),
+        ("padded-dma", dict(state_pad=True, scatter_backend="dma")),
+    ]:
+        init, step = make_sparse_step(model, learning_rate=0.001, **kw)
+        p, s, _ = jax.jit(step)(params, init(params), batch, rng, 0)
+        p, s, _ = jax.jit(step)(p, s, batch, rng, 1)
+        outs[name] = jax.device_get(p)
+        if name == "padded":
+            mv = s["mv_sparse"]["table"]
+            assert mv.shape[1] == 2 * 128, mv.shape  # 5 cols -> 128 pad
+
+    for name in ("padded", "padded-dma"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            outs["tight"], outs[name])
+
+
+def test_packed_col_pad_table_equality():
+    """packed_col_pad=128 (the [V, 128] lane-aligned table) changes NO
+    math: apply logits, the fast-step trajectory, and eval all match the
+    tight [V, 65] layout (pad columns are zero-init and untouched: their
+    grads are zero, so lazy Adam writes zeros back)."""
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.fast_step import make_sparse_step
+
+    fs = ml_100k_feature_set()
+    kw = dict(feature_set=fs, embedding_size=4, hidden_units=(16,),
+              packed_linear=True)
+    m_t = DeepFMModel(TowerConfig(**kw))
+    m_p = DeepFMModel(TowerConfig(**kw, packed_col_pad=128))
+    p_t = m_t.init(jax.random.PRNGKey(0))
+    p_p = m_p.init(jax.random.PRNGKey(0))
+    assert p_p["table"].shape[1] == 128
+    np.testing.assert_array_equal(np.asarray(p_p["table"][:, :5]),
+                                  np.asarray(p_t["table"]))
+    assert float(jnp.abs(p_p["table"][:, 5:]).sum()) == 0.0
+
+    r = np.random.default_rng(13)
+    b = 64
+    offs, sizes = fs.offsets, fs.field_sizes
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [offs[f] + r.integers(0, sizes[f], size=b)
+             for f in range(fs.num_fields)], 1).astype(np.int32)),
+        "num_vals": jnp.zeros((b, 0), jnp.float32),
+        "labels": jnp.asarray((r.random(b) < 0.3).astype(np.float32)),
+    }
+    # forward equality (the eval/serving path)
+    np.testing.assert_allclose(
+        np.asarray(m_p.apply(p_p, batch)), np.asarray(m_t.apply(p_t, batch)),
+        rtol=1e-6, atol=1e-7)
+
+    # two fast steps: table trajectories match on the real columns
+    rng = jax.random.PRNGKey(3)
+    for m, p, tag in ((m_t, p_t, "tight"), (m_p, p_p, "padded")):
+        init, step = make_sparse_step(m, learning_rate=0.001,
+                                      state_pad=True)
+        s = init(p)
+        p, s, _ = jax.jit(step)(p, s, batch, rng, 0)
+        p, s, _ = jax.jit(step)(p, s, batch, rng, 1)
+        if tag == "tight":
+            want = jax.device_get(p)
+        else:
+            got = jax.device_get(p)
+    np.testing.assert_allclose(got["table"][:, :5], want["table"],
+                               rtol=1e-6, atol=1e-8)
+    assert float(np.abs(got["table"][:, 5:]).sum()) == 0.0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+        got["mlp"], want["mlp"])
