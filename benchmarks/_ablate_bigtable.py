@@ -75,7 +75,8 @@ def run_dense(steps=100, batch=8192):
     dt = time.time() - t0
     print(f"dense 6M-row: {1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
-def run_sparse(steps=100, batch=8192, packed=False, scatter_backend="xla"):
+def run_sparse(steps=100, batch=8192, packed=False, scatter_backend="xla",
+               slot_dtype="float32"):
     from rectpu.train.fast_step import make_sparse_deepfm_step
     fs = big_feature_set()
     cfg = TowerConfig(
@@ -88,7 +89,8 @@ def run_sparse(steps=100, batch=8192, packed=False, scatter_backend="xla"):
     model = DeepFMModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     init_opt, step_fn = make_sparse_deepfm_step(
-        model, learning_rate=0.001, scatter_backend=scatter_backend)
+        model, learning_rate=0.001, scatter_backend=scatter_backend,
+        slot_dtype=slot_dtype)
     opt_state = init_opt(params)
     fj = jax.jit(step_fn, donate_argnums=(0, 1))
     staged = batches(fs, 4, batch, seed=2)
@@ -105,7 +107,8 @@ def run_sparse(steps=100, batch=8192, packed=False, scatter_backend="xla"):
     _ = float(loss)
     dt = time.time() - t0
     print(f"sparse{'-packed' if packed else ''}"
-          f"{'-dma' if scatter_backend == 'dma' else ''} 6M-row: "
+          f"{'-dma' if scatter_backend == 'dma' else ''}"
+          f"{'-bf16slots' if slot_dtype != 'float32' else ''} 6M-row: "
           f"{1e3*dt/steps:.3f} ms/step  {steps*batch/dt:,.0f} ex/s")
 
 def run_sparse_ep(steps=100, batch=8192, ep_mode="2d"):
@@ -162,6 +165,7 @@ _RUNNERS = {
     "sparse": run_sparse,
     "sparse-packed": lambda: run_sparse(packed=True),
     "sparse-dma": lambda: run_sparse(packed=True, scatter_backend="dma"),
+    "sparse-bf16": lambda: run_sparse(packed=True, slot_dtype="bfloat16_sr"),
     "sparse-ep": run_sparse_ep,
     "sparse-ep-dedup": lambda: run_sparse_ep(ep_mode="dedup"),
 }
@@ -171,4 +175,6 @@ if __name__ == "__main__":
             use_scaled(); continue
         if a == "x2":
             _SCALE[0] = 2.0; continue
+        if a == "x15":
+            _SCALE[0] = 1.5; continue
         _RUNNERS[a]()

@@ -59,6 +59,7 @@ def make_sparse_step(
     loss_reduction: str = "mean",
     scatter_backend: str = "auto",
     state_pad: bool | None = None,
+    slot_dtype: str = "float32",
 ):
     """Build (init_opt_state, step) for any model exposing ``apply_looked``
     (DeepFM, DNN, DLRM, DCN) with Adam.
@@ -128,6 +129,15 @@ def make_sparse_step(
     if state_pad is None:
         state_pad = cfg.padded_buckets >= 1_000_000
     state_pad = state_pad and not ep
+    # bf16 m|v slab: halves optimizer-state HBM (the capacity enabler for
+    # beyond-HBM tables — [12M, 256] f32 slots alone are 12.3 GB); v rides
+    # stochastic rounding, m plain bf16 (sparse.sparse_adam_rows_packed)
+    if slot_dtype not in ("float32", "bfloat16_sr"):
+        raise ValueError(f"slot_dtype must be float32|bfloat16_sr, got "
+                         f"{slot_dtype!r}")
+    if slot_dtype == "bfloat16_sr" and ep:
+        raise ValueError("bf16 slots are not wired into the EP exchange yet")
+    mv_dtype = jnp.bfloat16 if slot_dtype == "bfloat16_sr" else None
 
     ep_update = None
     if ep:
@@ -178,7 +188,8 @@ def make_sparse_step(
             # the layout from the slab width.
             w = leaf.shape[1] if leaf.ndim == 2 else 1
             wp = -(-w // 128) * 128 if (state_pad and leaf.ndim == 2) else w
-            return jnp.zeros((leaf.shape[0], 2 * wp), leaf.dtype)
+            dt = mv_dtype if (mv_dtype is not None and leaf.ndim == 2) else leaf.dtype
+            return jnp.zeros((leaf.shape[0], 2 * wp), dt)
 
         return {"m": {"rest": jax.tree.map(jnp.zeros_like, rest)},
                 "v": {"rest": jax.tree.map(jnp.zeros_like, rest)},
@@ -264,6 +275,7 @@ def make_sparse_step(
                     sparse[table_key], mv_sp[table_key],
                     rows, row_grads, lr_t, beta1, beta2, epsilon,
                     scatter_backend=scatter_backend, v_valid=v_valid,
+                    sr_seed=t,
                 )
                 new_sparse = {table_key: tbl_new}
                 mv_sp_new = {table_key: mv_tbl}

@@ -149,6 +149,7 @@ def sparse_adam_rows_packed(
     sorted_rows: bool = True,
     scatter_backend: str = "xla",
     v_valid: int | None = None,
+    sr_seed=None,
 ):
     """``sparse_adam_rows`` with the m/v slots PACKED as one [V, 2W] slab.
 
@@ -176,16 +177,33 @@ def sparse_adam_rows_packed(
     # fast ONLY at 128-multiple widths (an odd-width slab pays a full-table
     # pass, ~8 ns x table-byte); wp == w is the legacy tight layout
     wp = mv.shape[1] // 2
+    # bf16 slabs (the capacity layout: halves optimizer-state HBM) do the
+    # row math in fp32 and store back m as plain bf16 (AUC-neutral) and v
+    # via STOCHASTIC ROUNDING (plain bf16 v underflows its increments —
+    # optimizers.stochastic_round_bf16 rationale); ``sr_seed`` = step t.
+    bf16_slots = mv.dtype == jnp.bfloat16
     mv_rows = mv[rows]
-    m_rows = mv_rows[:, :w] * beta1 + g * (1 - beta1)
-    v_rows = mv_rows[:, wp:wp + w] * beta2 + jnp.square(g) * (1 - beta2)
+    if bf16_slots:
+        mv_rows = mv_rows.astype(jnp.float32)
+        if sr_seed is None:
+            raise ValueError("bf16 m|v slab needs sr_seed (the step counter)")
+    m_rows = mv_rows[:, :w] * beta1 + g.astype(mv_rows.dtype) * (1 - beta1)
+    v_rows = (mv_rows[:, wp:wp + w] * beta2
+              + jnp.square(g.astype(mv_rows.dtype)) * (1 - beta2))
     p_rows = p2[rows] - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
+    if bf16_slots:
+        from rectpu.train.optimizers import stochastic_round_bf16
+
+        m_store = m_rows.astype(jnp.bfloat16)
+        v_store = stochastic_round_bf16(v_rows, jnp.asarray(sr_seed))
+    else:
+        m_store, v_store = m_rows, v_rows
     if wp == w:
-        mv_new = jnp.concatenate([m_rows, v_rows], axis=1)
+        mv_new = jnp.concatenate([m_store, v_store], axis=1)
     else:
         mv_new = (
-            jnp.zeros((m_rows.shape[0], 2 * wp), mv.dtype)
-            .at[:, :w].set(m_rows).at[:, wp:wp + w].set(v_rows)
+            jnp.zeros((m_store.shape[0], 2 * wp), mv.dtype)
+            .at[:, :w].set(m_store).at[:, wp:wp + w].set(v_store)
         )
     if scatter_backend == "dma" and not vec and sorted_rows:
         from rectpu.ops.scatter_dma import scatter_rows_dma

@@ -299,14 +299,23 @@ def _resolve_fast_step(args, model, plan, optimizer):
     if optimizer.name != "Adam":
         return fail(f"requires Adam (got {optimizer.name}); the sparse step IS "
                     "lazy Adam (tf _apply_sparse semantics)")
+    slot_dtype = "float32"
     if getattr(args, "optimizer_slot_dtype", None):
         if "optimizer_slot_dtype" in getattr(args, "_preset_applied", ()):
-            # --preset scaled injected it; the sparse step manages its own
-            # fp32 m/v rows, so the preset's slot dtype simply doesn't apply
+            # --preset scaled injected it for the DENSE sweep; the sparse
+            # step defaults to exact fp32 rows — only an explicit flag
+            # opts the packed slab into bf16
             logger.info("fast step: ignoring the preset's bf16-sr slot dtype "
-                        "(sparse rows keep fp32 m/v)")
+                        "(sparse rows keep fp32 m/v; pass the flag "
+                        "explicitly for the bf16 slab)")
+        elif args.optimizer_slot_dtype in ("bfloat16-sr", "bfloat16_sr"):
+            # round-5: the packed m|v slab supports bf16 with stochastically
+            # rounded v (halves optimizer-state HBM — the capacity layout)
+            slot_dtype = "bfloat16_sr"
+            logger.info("fast step: bf16 m|v slab (v stochastically rounded)")
         else:
-            return fail("manages its own fp32 m/v rows; drop --optimizer-slot-dtype")
+            return fail("sparse rows support float32 or bfloat16-sr slots; "
+                        f"got {args.optimizer_slot_dtype}")
     if getattr(args, "table_dtype", "float32") != "float32" or \
             getattr(args, "table_store", "float32") != "float32":
         return fail("needs fp32 tables (no bf16 master/store)")
@@ -322,6 +331,7 @@ def _resolve_fast_step(args, model, plan, optimizer):
         plan=plan,
         loss_reduction=getattr(args, "loss_reduction", "mean"),
         scatter_backend=getattr(args, "sparse_scatter", "auto"),
+        slot_dtype=slot_dtype,
     )
     logger.info("fast step on: sparse lazy-Adam table updates%s",
                 " over the EP exchange" if (plan is not None and plan.ep) else "")

@@ -362,3 +362,43 @@ def test_packed_col_pad_table_equality():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
         got["mlp"], want["mlp"])
+
+
+def test_fast_step_bf16_sr_slots_track_fp32():
+    """slot_dtype='bfloat16_sr' (the capacity layout): the table trajectory
+    tracks the fp32-slot trajectory closely over a few steps (m plain bf16,
+    v stochastically rounded — the dense-path recipe, RESULTS.md)."""
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import DeepFMModel, TowerConfig
+    from rectpu.train.fast_step import make_sparse_step
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16,),
+                      packed_linear=True)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(3)
+    r = np.random.default_rng(14)
+    b = 64
+    offs, sizes = fs.offsets, fs.field_sizes
+    batch = {
+        "cat_ids": jnp.asarray(np.stack(
+            [offs[f] + r.integers(0, sizes[f], size=b)
+             for f in range(fs.num_fields)], 1).astype(np.int32)),
+        "num_vals": jnp.zeros((b, 0), jnp.float32),
+        "labels": jnp.asarray((r.random(b) < 0.3).astype(np.float32)),
+    }
+    trajs = {}
+    for name, dt in [("f32", "float32"), ("bf16", "bfloat16_sr")]:
+        init, step = make_sparse_step(model, learning_rate=0.001,
+                                      slot_dtype=dt, state_pad=True)
+        p, s = params, init(params)
+        for t in range(4):
+            p, s, loss = jax.jit(step)(p, s, batch, rng, t)
+        assert np.isfinite(float(loss))
+        trajs[name] = np.asarray(jax.device_get(p)["table"])
+        if name == "bf16":
+            assert s["mv_sparse"]["table"].dtype == jnp.bfloat16
+    # bf16 slots perturb the trajectory by rounding noise only
+    np.testing.assert_allclose(trajs["bf16"], trajs["f32"], rtol=0.1,
+                               atol=2e-3)
