@@ -117,9 +117,11 @@ def _autotune_flat(batch, num_fields, k, vocab_rows, field_info, results):
             # second stage: tiles-per-grid-step at the winning (tr, cap) —
             # fatter steps amortize the ~1.3 us/step grid overhead
             best_tps = 1
-            # tps=16 added round 5: tps=8 won the round-4 HW session, so the
-            # sweep must extend past the previous winner
-            for tps in (4, 8, 16):
+            # tps=8 is the sweep ceiling BY CONSTRUCTION: tiles_per_step
+            # must divide the repack super-segment size 8
+            # (ops/scatter_rows.py) — a 16 entry (VERDICT r4 #8) is
+            # structurally impossible, not merely untried
+            for tps in (4, 8):
                 t = _time(
                     lambda u, tps=tps: scatter_rows_dense(
                         sc_ids, u, vocab_rows, tile_rows=best_tile[0],
