@@ -154,15 +154,27 @@ def make_sparse_rows_ep(
         safe = jnp.clip(local, 0, v_shard - 1)
 
         g = grads.astype(table.dtype)
+        # the slab may be LANE-PADDED [V, 2*wp] (m in [0, w), v in
+        # [wp, wp+w)) — round-5 scatter law: the caller's per-shard mv
+        # scatter is per-row only at 128-multiple widths (wp == w is the
+        # tight legacy layout)
+        wp = mv.shape[1] // 2
         mv_rows = jnp.take(mv, safe, axis=0)  # ONE gather covers m and v
         m_rows = mv_rows[:, :w] * beta1 + g * (1 - beta1)
-        v_rows = mv_rows[:, w:] * beta2 + jnp.square(g) * (1 - beta2)
+        v_rows = mv_rows[:, wp:wp + w] * beta2 + jnp.square(g) * (1 - beta2)
         p_rows = (
             jnp.take(table, safe, axis=0)
             - lr_t * m_rows / (jnp.sqrt(v_rows) + epsilon)
         )
         rows_g = jnp.where(owned, rows, v_total)  # V = drop sentinel
-        return rows_g, p_rows, jnp.concatenate([m_rows, v_rows], axis=1)
+        if wp == w:
+            mv_out = jnp.concatenate([m_rows, v_rows], axis=1)
+        else:
+            mv_out = (
+                jnp.zeros((m_rows.shape[0], 2 * wp), mv.dtype)
+                .at[:, :w].set(m_rows).at[:, wp:wp + w].set(v_rows)
+            )
+        return rows_g, p_rows, mv_out
 
     def update(table, mv, ids, dlooked, lr_t):
         # check_vma=False: the checker cannot infer that the all_gather over

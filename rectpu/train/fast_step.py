@@ -127,8 +127,20 @@ def make_sparse_step(
     # memory buys the per-row scatter (47 -> 1.4 ms at [6M, 130] f32).
     # EP keeps the tight layout (parallel/sparse_ep.py slices [: , :w]).
     if state_pad is None:
-        state_pad = cfg.padded_buckets >= 1_000_000
-    state_pad = state_pad and not ep
+        # the dma backend requires lane-aligned slabs outright; otherwise
+        # pad once the table is big enough for the odd-width scatter
+        # penalty to matter
+        state_pad = (scatter_backend == "dma"
+                     or cfg.padded_buckets >= 1_000_000)
+    # EP: the mv slab pads too (its per-shard scatter obeys the same
+    # width law; sparse_ep reads the layout from the slab width). The
+    # TABLE col-pad does not yet thread through the EP exchanges (their
+    # k-from-width inference) — next-round lead.
+    if ep and getattr(cfg, "packed_col_pad", 0):
+        raise ValueError(
+            "packed_col_pad is not supported with EP sharding yet: the EP "
+            "exchanges infer K from the table width (parallel/embedding_ep)"
+        )
     # bf16 m|v slab: halves optimizer-state HBM (the capacity enabler for
     # beyond-HBM tables — [12M, 256] f32 slots alone are 12.3 GB); v rides
     # stochastic rounding, m plain bf16 (sparse.sparse_adam_rows_packed)

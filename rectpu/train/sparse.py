@@ -206,11 +206,17 @@ def sparse_adam_rows_packed(
             .at[:, :w].set(m_store).at[:, wp:wp + w].set(v_store)
         )
     if scatter_backend == "dma" and not vec and sorted_rows:
+        from rectpu.ops.embedding import _on_tpu
         from rectpu.ops.scatter_dma import scatter_rows_dma
 
+        if _on_tpu() and (p2.shape[1] % 128 or mv.shape[1] % 128):
+            raise ValueError(
+                f"scatter_backend='dma' needs 128-multiple slab widths on "
+                f"TPU (Mosaic lane tiling; got p {p2.shape[1]}, mv "
+                f"{mv.shape[1]}) — set packed_col_pad=128 / state_pad")
         vv = v_valid if v_valid is not None else p2.shape[0] - 256
         mv = scatter_rows_dma(mv, rows, mv_new, v_valid=vv)
-        p2 = scatter_rows_dma(p2, rows, p_rows, v_valid=vv)
+        p2 = scatter_rows_dma(p2, rows, p_rows.astype(p2.dtype), v_valid=vv)
     else:
         mv = mv.at[rows].set(mv_new, mode="drop",
                              indices_are_sorted=sorted_rows)

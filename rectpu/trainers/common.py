@@ -350,6 +350,12 @@ def build_trainer(args, model, optimizer=None):
     from rectpu.serve.export import make_exporter
     from rectpu.train.loop import TrainConfig, Trainer
 
+    if (getattr(args, "packed_col_pad", 0)
+            and getattr(args, "num_model_shards", 1) > 1):
+        raise ValueError(
+            "--packed-col-pad is not supported with --num-model-shards > 1 "
+            "yet: the EP exchanges infer K from the table width")
+
     if getattr(args, "compilation_cache_dir", None):
         import jax
 

@@ -246,8 +246,9 @@ def test_fast_step_dma_scatter_backend_bitwise():
         "labels": jnp.asarray((r.random(b) < 0.3).astype(np.float32)),
     }
 
+    # state_pad=True on both: the dma backend forces lane-aligned slabs
     init_x, step_x = make_sparse_step(model, learning_rate=0.001,
-                                      scatter_backend="xla")
+                                      scatter_backend="xla", state_pad=True)
     init_d, step_d = make_sparse_step(model, learning_rate=0.001,
                                       scatter_backend="dma")
     px, sx, _ = jax.jit(step_x)(params, init_x(params), batch, rng, 0)

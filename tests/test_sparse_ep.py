@@ -27,8 +27,8 @@ def _batch(fs, b, rng):
     }
 
 
-def _run_steps(model, plan, params, batches, n_steps=3):
-    init, step = make_sparse_step(model, learning_rate=0.001, plan=plan)
+def _run_steps(model, plan, params, batches, n_steps=3, **kw):
+    init, step = make_sparse_step(model, learning_rate=0.001, plan=plan, **kw)
     p, s = params, init(params)
     if plan is not None:
         p = plan.shard_params(p)
@@ -286,3 +286,39 @@ def test_fast_step_cli_dlrm(synthetic_dir, tmp_path):
     metrics = mod.train_and_evaluate(args)
     assert metrics["count"] == 1200
     assert 0 < metrics["average_loss"] < 2.0
+
+
+def test_sparse_ep_lane_padded_mv_matches_single_device(rng):
+    """state_pad=True on the EP path (per-shard [Vs, 2*128] m|v slab —
+    round-5 scatter law) == the single-device tight-layout lazy Adam."""
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=16, packed_linear=True)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batches = [_batch(fs, 32, rng) for _ in range(3)]
+
+    p_ref, l_ref = _run_steps(model, None, params, batches, state_pad=False)
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets,
+                               ep_mode="dedup")
+    p_sh, l_sh = _run_steps(model, plan, params, batches, state_pad=True)
+
+    assert np.isclose(l_ref, l_sh, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        p_ref, p_sh,
+    )
+
+
+def test_packed_col_pad_rejected_with_ep():
+    from rectpu.features.schema import ml_100k_feature_set as _fs
+
+    cfg = TowerConfig(feature_set=_fs(), embedding_size=4,
+                      table_padding=16, packed_linear=True,
+                      packed_col_pad=128)
+    model = DeepFMModel(cfg)
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets)
+    with pytest.raises(ValueError, match="packed_col_pad"):
+        make_sparse_step(model, plan=plan)
