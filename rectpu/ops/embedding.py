@@ -491,6 +491,13 @@ def lookup_flat(table, ids, field_info, k, small_threshold=4096, gather_dtype=No
         uniform hashing over >> capacity tiles keeps every tile under the
         Pallas capacity so the fast path actually executes.
     """
+    if table.shape[1] > k + 1:
+        raise NotImplementedError(
+            f"lookup_flat does not support a lane-padded packed table "
+            f"(width {table.shape[1]} > K+1={k + 1}): packed_col_pad is a "
+            f"fast-step/non-flat layout. Measured moot anyway: the flagship "
+            f"flat path's MXU grad rebuild beats per-row XLA scatters at "
+            f"this scale (RESULTS.md round 5).")
     t = table.astype(gather_dtype) if gather_dtype is not None else table
     emb_flat, lin, _ = _lookup_flat_raw(t, ids, field_info, k, small_threshold)
     return emb_flat, lin
