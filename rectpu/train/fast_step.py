@@ -11,10 +11,13 @@ scatter/gather on TPU costs ~0.3 us/row at big-table scale, so the ~25k
 touched rows' six state round-trips cost ~110-170 ms at a 6M-row table
 while the dense sweep costs 22 ms. (Round 2 recorded "1.77 ms sparse at 6M
 rows"; that was a block_until_ready sync lie — RESULTS.md round 3.) This
-module is therefore a CAPACITY feature: it pays only when the PER-SHARD
-dense sweep cannot be afforded, roughly V*W > ~2B elements per model shard
-(~8 GB of fp32 p/m/v per shard — the beyond-HBM regime EP sharding exists
-for). Trainers expose it as ``--fast-step {auto,on,off}`` with auto = that
+module was therefore called a CAPACITY feature in rounds 3-4. ROUND-5
+REVISION: that verdict rested on odd-width XLA scatters (a full-table pass
+at [V, 65]/[V, 130]); with LANE-ALIGNED state (the m|v slab pads each half
+to 128 cols, ``packed_col_pad`` pads the table) the scatters are per-row
+and the sparse step is ~V-flat — 38 ms at 6M rows vs 93 before — crossing
+the V-linear dense sweep at ~13M rows (~850M elements) per shard. Trainers
+expose it as ``--fast-step {auto,on,off}`` with auto = that measured
 crossover. Tests pin its exact lazy-Adam semantics either way.
 
 This step restructures the computation:
@@ -125,7 +128,6 @@ def make_sparse_step(
                 f"{v_valid} = {pad_rows}); raise table_padding")
     # lane-pad the packed m|v slab on big tables: +~31% optimizer-state
     # memory buys the per-row scatter (47 -> 1.4 ms at [6M, 130] f32).
-    # EP keeps the tight layout (parallel/sparse_ep.py slices [: , :w]).
     if state_pad is None:
         # the dma backend requires lane-aligned slabs outright; otherwise
         # pad once the table is big enough for the odd-width scatter

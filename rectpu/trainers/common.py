@@ -205,9 +205,9 @@ def add_deep_args(parser: ArgumentParser) -> None:
                              "(--num-model-shards >1: deduped rows + cotangents "
                              "ride an all_to_all to the owning shard, "
                              "parallel/sparse_ep). 'auto' = on when the table "
-                             "exceeds ~2B elements PER SHARD (the honest "
-                             "fetch-synced crossover: random-row state "
-                             "updates cost ~0.3us/row on v5e, so dense sweeps "
+                             "exceeds ~850M elements PER SHARD (~13M rows at "
+                             "K=64 — the round-5 measured crossover with "
+                             "lane-aligned state; dense sweeps "
                              "win far longer than naive timing suggested — "
                              "RESULTS.md round 3) and the run is Adam-"
                              "compatible; 'on' forces it (errors on "
@@ -283,18 +283,18 @@ def _resolve_fast_step(args, model, plan, optimizer):
     if not hasattr(model, "apply_looked"):
         return fail(f"{model.name} has no apply_looked hook")
     cols = model.cfg.embedding_size + (1 if getattr(model, "use_linear", False) else 0)
-    # Crossover RE-MEASURED round 3 with honest fetch-synced timing (the
-    # round-2 "sparse wins at 6M rows" was a block_until_ready artifact —
-    # RESULTS.md): random-row state gathers/scatters cost ~0.3 us/row on
-    # v5e, so at 6M rows (390M elements) the dense sweep wins 22 vs ~110 ms.
-    # Lazy-sparse pays off only when the PER-SHARD dense sweep approaches
-    # that scatter cost: ~2B elements per model shard (~8 GB of fp32
-    # p/m/v per shard — the genuine beyond-HBM capacity regime).
+    # Crossover RE-DERIVED round 5 from the width-keyed scatter law
+    # (RESULTS.md round-5 sparse-step outcome): with lane-aligned state the
+    # sparse step is ~V-flat (38 ms at 6M, +~1.1 ms/M) while the dense
+    # sweep is V-linear (+3.45 ms/M) — they cross at ~13M rows/shard
+    # (~850M elements at the flagship K=64). Below that the dense sweep
+    # wins outright; above it sparse wins on speed AND is the only option
+    # once p/m/v no longer fit per-shard HBM.
     elems_per_shard = (
         model.cfg.padded_buckets * cols
         // max(getattr(args, "num_model_shards", 1), 1)
     )
-    if mode == "auto" and elems_per_shard < 2_000_000_000:
+    if mode == "auto" and elems_per_shard < 850_000_000:
         return None
     if optimizer.name != "Adam":
         return fail(f"requires Adam (got {optimizer.name}); the sparse step IS "
