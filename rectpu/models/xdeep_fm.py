@@ -50,7 +50,8 @@ from rectpu.models.base import (
 
 class XDeepFMModel:
     name = "xdeep_fm"
-    EXPORT_KWARGS = ("use_linear", "use_cin", "use_dnn", "cin_units")
+    EXPORT_KWARGS = ("use_linear", "use_cin", "use_dnn", "cin_units",
+                     "cin_layout")
 
     def __init__(
         self,
@@ -59,6 +60,7 @@ class XDeepFMModel:
         use_cin: bool = True,
         use_dnn: bool = True,
         cin_units: tuple = (64, 64),
+        cin_layout: str = "legacy",
     ):
         if cfg.num_fields + cfg.num_numeric == 0:
             raise ValueError("xDeepFM needs at least one feature column")
@@ -71,6 +73,9 @@ class XDeepFMModel:
         self.use_cin = use_cin
         self.use_dnn = use_dnn
         self.cin_units = tuple(int(h) for h in cin_units)
+        if cin_layout not in ("legacy", "kmajor"):
+            raise ValueError(f"cin_layout must be legacy|kmajor, got {cin_layout}")
+        self.cin_layout = cin_layout
 
     @property
     def packed(self) -> bool:
@@ -140,6 +145,23 @@ class XDeepFMModel:
         traffic at the scaled config — the first zoo row read 16.2
         ms/step); cin_core's backward reuses the forward contraction with
         renamed weight axes and never forms either (RESULTS.md round 4)."""
+        if self.cin_layout == "kmajor":
+            # round-5: K-major keeps every contraction in its natural
+            # dot_general layout — one [B, M, K] -> [B, K, M] relayout at
+            # stack entry replaces the per-call [B, K, O] -> [B, O, K]
+            # transposes (~8 x 67 MB/step at the scaled config)
+            from rectpu.ops.cin import cin_core_kmajor
+
+            x0 = emb.transpose(0, 2, 1)  # [B, K, M]
+            x = x0
+            pools = []
+            for layer in params["cin"]:
+                x = cin_core_kmajor(x, x0, layer["w"].astype(x.dtype))
+                pools.append(jnp.sum(x.astype(jnp.float32), axis=1))  # [B, O]
+            p = jnp.concatenate(pools, axis=1)
+            out = params["cin_out"]
+            return (p @ out["w"].astype(jnp.float32) + out["b"])[:, 0]
+
         from rectpu.ops.cin import cin_core
 
         x0 = emb

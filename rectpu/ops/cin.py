@@ -248,3 +248,56 @@ def cin_core(x: jax.Array, y: jax.Array, w: jax.Array, impl: str = "auto"):
     if impl == "auto":
         impl = _CIN_AUTO["tpu" if _on_tpu() else "other"]
     return _cin_core(x, y, w, impl)
+
+
+# --- K-major layout (round 5) ------------------------------------------------
+#
+# The legacy path's API contract ([B, *, K] in, [B, O, K] out) forces a
+# [B, K, O] -> [B, O, K] relayout per cin_core call — ~8 calls x 67 MB per
+# xDeepFM train step once the custom VJP re-expresses every backward leg as
+# a forward contraction. K-MAJOR keeps K as the leading non-batch axis
+# everywhere ([B, K, H] operands, [B, K, O] results): the dot_general
+# emits its natural layout and NOTHING transposes except one [B, M, K] ->
+# [B, K, M] relayout of the base embeddings at stack entry.
+
+
+def cin_core_xla_kmajor(x, y, w):
+    """out[b,k,o] = sum_{h,m} w[h,m,o] x[b,k,h] y[b,k,m] — the same CIN
+    contraction as cin_core_xla in K-major layout (no output relayout)."""
+    z = x[:, :, :, None] * y[:, :, None, :]  # [B, K, H, M] (fused into the dot)
+    out = jax.lax.dot_general(
+        z, w,
+        dimension_numbers=(((2, 3), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, K, O]
+    return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def cin_core_kmajor(x, y, w):
+    """Differentiable K-major CIN core: x [B,K,H], y [B,K,M], w [H,M,O] ->
+    [B,K,O]. Same custom-VJP structure as cin_core (every activation grad
+    is the forward contraction with renamed weight axes; no [B,K,H,M]
+    residual ever materializes)."""
+    return cin_core_xla_kmajor(x, y, w)
+
+
+def _cin_kmajor_fwd(x, y, w):
+    return cin_core_xla_kmajor(x, y, w), (x, y, w)
+
+
+def _cin_kmajor_bwd(res, g):
+    x, y, w = res
+    g = g.astype(x.dtype)
+    dx = cin_core_xla_kmajor(g, y, w.transpose(2, 1, 0))
+    dy = cin_core_xla_kmajor(g, x, w.transpose(2, 0, 1))
+    z = x[:, :, :, None] * y[:, :, None, :]  # [B, K, H, M]
+    dw = jax.lax.dot_general(
+        z, g,
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H, M, O]
+    return dx, dy, dw.astype(w.dtype)
+
+
+cin_core_kmajor.defvjp(_cin_kmajor_fwd, _cin_kmajor_bwd)

@@ -40,6 +40,7 @@ def train_and_evaluate(args):
         use_cin=not args.exclude_cin,
         use_dnn=not args.exclude_dnn,
         cin_units=tuple(args.cin_units),
+        cin_layout=args.cin_layout,
     )
     optimizer = get_optimizer(args.optimizer, args.learning_rate)
     return run(args, model, optimizer)
@@ -51,6 +52,11 @@ def build_parser() -> ArgumentParser:
     add_deep_args(parser)
     parser.add_argument("--cin-units", nargs="+", type=int, default=[64, 64],
                         help="CIN layer widths (default: %(default)s)")
+    parser.add_argument("--cin-layout", choices=["legacy", "kmajor"],
+                        default="legacy",
+                        help="CIN tensor layout: kmajor removes the "
+                             "per-call output relayouts (round-5; "
+                             "default: %(default)s)")
     parser.add_argument("--exclude-linear", action="store_true",
                         help="drop the linear component")
     parser.add_argument("--exclude-cin", action="store_true",

@@ -75,3 +75,44 @@ def test_dw_kernel_matches_einsum(ops):
     want = np.einsum("bhk,bmk,bok->hmo", np.asarray(x, np.float64),
                      np.asarray(y, np.float64), np.asarray(g, np.float64))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_kmajor_matches_legacy():
+    """cin_layout='kmajor' (no per-call relayouts) == the legacy layout:
+    values and gradients, through the full xDeepFM CIN stack."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rectpu.features.schema import ml_100k_feature_set
+    from rectpu.models import TowerConfig
+    from rectpu.models.xdeep_fm import XDeepFMModel
+
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=6, hidden_units=(8,),
+                      table_padding=8)
+    m_l = XDeepFMModel(cfg, cin_units=(5, 3))
+    m_k = XDeepFMModel(cfg, cin_units=(5, 3), cin_layout="kmajor")
+    params = m_l.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    ids = np.stack([fs.offsets[f] + rng.integers(0, fs.field_sizes[f], size=16)
+                    for f in range(fs.num_fields)], 1).astype(np.int32)
+    batch = {"cat_ids": jnp.asarray(ids),
+             "num_vals": jnp.zeros((16, 0), jnp.float32),
+             "labels": jnp.asarray((rng.random(16) < 0.3).astype(np.float32))}
+
+    out_l = np.asarray(m_l.apply(params, batch))
+    out_k = np.asarray(m_k.apply(params, batch))
+    np.testing.assert_allclose(out_k, out_l, rtol=1e-5, atol=1e-6)
+
+    from rectpu.train.metrics import sigmoid_xent
+
+    def loss(model, p):
+        return sigmoid_xent(model.apply(p, batch), batch["labels"]).mean()
+
+    g_l = jax.grad(lambda p: loss(m_l, p))(params)
+    g_k = jax.grad(lambda p: loss(m_k, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        g_l, g_k)
