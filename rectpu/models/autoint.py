@@ -177,11 +177,14 @@ class AutoIntModel:
         elif self.att_impl == "bf16":
             # same broadcast-reduce lowering, products in the compute dtype
             # with fp32 ACCUMULATION (sum dtype): halves the VPU multiply
-            # cost; softmax stays fp32
+            # cost; softmax math stays fp32 but its OUTPUT is stored bf16
+            # immediately, so the backward residual (the [B, M, N, H]
+            # attention weights autodiff saves) rides at half the bytes
             logits = (q[:, :, None] * k[:, None, :, :, :]).sum(
                 -1, dtype=jnp.float32)  # [B, M, N, H]
-            att = jax.nn.softmax(logits / jnp.sqrt(jnp.float32(dh)), axis=2)
-            out = (att[..., None].astype(x.dtype) * v[:, None, :, :, :]).sum(2)
+            att = jax.nn.softmax(
+                logits / jnp.sqrt(jnp.float32(dh)), axis=2).astype(x.dtype)
+            out = (att[..., None] * v[:, None, :, :, :]).sum(2)
             out = out.reshape(b, m, nh * dh)
         else:
             # field-to-field attention; fp32 softmax. [B, M, N, H] logits via
