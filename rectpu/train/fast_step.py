@@ -135,13 +135,17 @@ def make_sparse_step(
         state_pad = (scatter_backend == "dma"
                      or cfg.padded_buckets >= 1_000_000)
     # EP: the mv slab pads too (its per-shard scatter obeys the same
-    # width law; sparse_ep reads the layout from the slab width). The
-    # TABLE col-pad does not yet thread through the EP exchanges (their
-    # k-from-width inference) — next-round lead.
-    if ep and getattr(cfg, "packed_col_pad", 0):
+    # width law; sparse_ep reads the layout from the slab width), and the
+    # TABLE col-pad composes as well — the fast step rides the NON-flat
+    # exchanges, which move full-width rows and slice by index downstream,
+    # so a [V/m, 128] shard's p scatter is per-row on every shard. Only
+    # the FLAT exchange variants infer K from the table width; those are
+    # the one incompatible combination.
+    if ep and getattr(cfg, "packed_col_pad", 0) and cfg.flat_layout:
         raise ValueError(
-            "packed_col_pad is not supported with EP sharding yet: the EP "
-            "exchanges infer K from the table width (parallel/embedding_ep)"
+            "packed_col_pad + flat_layout is not supported under EP "
+            "sharding: the flat exchange variants infer K from the table "
+            "width (parallel/embedding_ep). Drop flat_layout or the pad."
         )
     # bf16 m|v slab: halves optimizer-state HBM (the capacity enabler for
     # beyond-HBM tables — [12M, 256] f32 slots alone are 12.3 GB); v rides

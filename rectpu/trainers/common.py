@@ -351,10 +351,12 @@ def build_trainer(args, model, optimizer=None):
     from rectpu.train.loop import TrainConfig, Trainer
 
     if (getattr(args, "packed_col_pad", 0)
-            and getattr(args, "num_model_shards", 1) > 1):
+            and getattr(args, "num_model_shards", 1) > 1
+            and getattr(args, "flat_layout", False)):
         raise ValueError(
-            "--packed-col-pad is not supported with --num-model-shards > 1 "
-            "yet: the EP exchanges infer K from the table width")
+            "--packed-col-pad + --flat-layout is not supported with "
+            "--num-model-shards > 1: the flat EP exchange variants infer K "
+            "from the table width. Drop one of the two.")
 
     if getattr(args, "compilation_cache_dir", None):
         import jax

@@ -312,13 +312,46 @@ def test_sparse_ep_lane_padded_mv_matches_single_device(rng):
     )
 
 
-def test_packed_col_pad_rejected_with_ep():
+def test_packed_col_pad_rejected_with_ep_flat():
+    """Only the FLAT exchange variants are incompatible with the padded
+    table (they infer K from the width); the non-flat EP fast step
+    composes — see the equality test below."""
     from rectpu.features.schema import ml_100k_feature_set as _fs
 
     cfg = TowerConfig(feature_set=_fs(), embedding_size=4,
                       table_padding=16, packed_linear=True,
-                      packed_col_pad=128)
+                      packed_col_pad=128, flat_layout=True)
     model = DeepFMModel(cfg)
     plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets)
-    with pytest.raises(ValueError, match="packed_col_pad"):
+    with pytest.raises(ValueError, match="flat_layout"):
         make_sparse_step(model, plan=plan)
+
+
+@pytest.mark.parametrize("ep_mode", ["2d", "dedup"])
+def test_sparse_ep_packed_col_pad_matches_single_device(ep_mode, rng):
+    """EP fast step over a LANE-PADDED [V, 128] table (the capacity-regime
+    layout: every per-shard p/mv scatter is per-row) == the single-device
+    padded fast step. The non-flat exchanges move full-width rows; pad
+    columns carry zero grads and stay zero."""
+    fs = ml_100k_feature_set()
+    cfg = TowerConfig(feature_set=fs, embedding_size=4, hidden_units=(16, 16),
+                      table_padding=16, packed_linear=True,
+                      packed_col_pad=128)
+    model = DeepFMModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["table"].shape[1] == 128
+    batches = [_batch(fs, 32, rng) for _ in range(3)]
+
+    p_ref, l_ref = _run_steps(model, None, params, batches)
+    plan = ParallelPlan.create(2, 4, table_rows=cfg.padded_buckets,
+                               ep_mode=ep_mode)
+    p_sh, l_sh = _run_steps(model, plan, params, batches)
+
+    assert np.isclose(l_ref, l_sh, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        ),
+        p_ref, p_sh,
+    )
+    assert float(np.abs(np.asarray(p_sh["table"])[:, 5:]).sum()) == 0.0
