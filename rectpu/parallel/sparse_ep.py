@@ -97,12 +97,11 @@ def make_sparse_rows_ep(
         # fp32 row sums regardless of tower dtype (bf16 collision sums would
         # drop increments below the running sum's ulp/2)
         flat_g = dl.reshape(-1, w).astype(jnp.float32)
-        rows, grads = dedupe_rows(flat_ids, flat_g, v_total)
-        if field_sizes is not None:
-            # exact slice: uniques occupy the first sum_f min(size_f, B_loc)
-            # slots (sentinels sort last); only padding is dropped
-            cap1 = unique_capacity(field_sizes, ids.shape[0], rows.shape[0])
-            rows, grads = rows[:cap1], grads[:cap1]
+        # exact capacity: uniques occupy the first sum_f min(size_f, B_loc)
+        # slots (sentinels sort last) — built directly at that size
+        cap1 = (unique_capacity(field_sizes, ids.shape[0], flat_ids.shape[0])
+                if field_sizes is not None else None)
+        rows, grads = dedupe_rows(flat_ids, flat_g, v_total, num_out=cap1)
         n = rows.shape[0]
 
         if batch_2d and n_model > 1:
@@ -139,12 +138,11 @@ def make_sparse_rows_ep(
         # every 'data' replica of this table shard must apply the SAME update
         rows = jax.lax.all_gather(rows, DATA_AXIS, axis=0, tiled=True)
         grads = jax.lax.all_gather(grads, DATA_AXIS, axis=0, tiled=True)
-        rows, grads = dedupe_rows(rows, grads, v_total)
-        if field_sizes is not None:
-            # global bound: contributions come from the whole global batch
-            b_total = ids.shape[0] * n_data * (n_model if batch_2d else 1)
-            cap2 = unique_capacity(field_sizes, b_total, rows.shape[0])
-            rows, grads = rows[:cap2], grads[:cap2]
+        # global bound: contributions come from the whole global batch
+        b_total = ids.shape[0] * n_data * (n_model if batch_2d else 1)
+        cap2 = (unique_capacity(field_sizes, b_total, rows.shape[0])
+                if field_sizes is not None else None)
+        rows, grads = dedupe_rows(rows, grads, v_total, num_out=cap2)
 
         mi = jax.lax.axis_index(MODEL_AXIS)
         local = rows - mi * v_shard

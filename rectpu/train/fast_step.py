@@ -276,18 +276,20 @@ def make_sparse_step(
         else:
             v_rows = table.shape[0]
             cols = dlooked.shape[-1]
-            rows, row_grads = dedupe_rows(
-                ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32), v_rows
-            )
-            # uniques occupy the first sum_f min(size_f, B) slots; slice off
-            # the sentinel tail so the latency-bound row passes below touch
-            # 25k rows, not R=213k. Exact ONLY for ids inside their field's
-            # [offset, offset+size) range — guaranteed by FeatureSet.encode,
-            # guarded by sparse.check_ids_in_field_ranges (see
-            # unique_capacity's PRECONDITION note).
+            # uniques occupy the first sum_f min(size_f, B) slots, so the
+            # dedupe builds its [cap, W] result DIRECTLY (round 5: skips
+            # ~190 MB of mostly-zero segment-sum output at the big config)
+            # instead of a full [R, W] later sliced. Exact ONLY for ids
+            # inside their field's [offset, offset+size) range —
+            # guaranteed by FeatureSet.encode, guarded by
+            # sparse.check_ids_in_field_ranges (unique_capacity's
+            # PRECONDITION note).
             cap = unique_capacity(
-                field_info[1], ids.shape[0], rows.shape[0])
-            rows, row_grads = rows[:cap], row_grads[:cap]
+                field_info[1], ids.shape[0], ids.shape[0] * ids.shape[1])
+            rows, row_grads = dedupe_rows(
+                ids.reshape(-1), dlooked.reshape(-1, cols).astype(jnp.float32),
+                v_rows, num_out=cap,
+            )
             if packed or not use_linear:
                 tbl_new, mv_tbl = sparse_adam_rows_packed(
                     sparse[table_key], mv_sp[table_key],
